@@ -1,0 +1,509 @@
+"""Exact GP surrogate — the main HEBO model, TPU-native.
+
+Capability parity with reference ``GP`` (HEBO/hebo/models/gp/gp.py:35-207):
+ARD Matérn-3/2 over scaled numerics × Matérn over learned categorical
+embeddings, Gamma(0.5, 0.5)-prior outputscale, LogNormal(log 1e-2, 0.5)
+noise prior with a noise floor, min-max x-scaling to [-1, 1], y
+standardization, median-pairwise-distance lengthscale init, pSGLD (default)
+or Adam MAP hyperparameter fitting, and jitter-escalation on Cholesky
+failure with a unit-Gaussian predictive fallback.
+
+TPU-native design (not a port):
+* The entire fit (init → n_steps of optimizer → posterior cache) is ONE
+  jitted program per (Nmax, D) padding bucket — no per-epoch host sync, no
+  retrace when N grows (buffers are padded and masked, utils/dtypes.py).
+* The jitter ladder lives inside the program (ops/chol.py) so numerical
+  failures cost a `lax.cond`, not a recompile (reference gp.py:103-126
+  does python-level retries).
+* Multi-restart fitting is `vmap` over the restart axis; hyperparameter
+  *posteriors* (pSGLD ensemble, later NUTS/SMC) are an extra leading sample
+  axis handled identically.  Both axes shard across devices with
+  `shard_map` (see hebo_tpu.parallel).
+* Everything is float32: TPU MXU-friendly; robustness comes from input and
+  output standardization + in-graph jitter, not float64.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.chol import chol_logdet, chol_solve, safe_cholesky
+from ..base import BaseModel, register_model
+from .kernels import MATERN_FNS, embed_categorical, sq_dist
+
+__all__ = ["GPParams", "GPData", "GPCache", "GPCore", "GP"]
+
+
+class GPParams(NamedTuple):
+    """GP hyperparameters (the pytree optimized / sampled)."""
+
+    log_ls: jnp.ndarray  # (D_feat,) ARD lengthscales (numeric + embedding)
+    log_sc: jnp.ndarray  # () outputscale
+    log_noise: jnp.ndarray  # () observation noise variance
+    mean: jnp.ndarray  # () constant mean
+    emb: jnp.ndarray  # (total_cats, E) categorical embedding table (or (0, 0))
+
+
+class GPData(NamedTuple):
+    """Padded, scaled training data (device-resident)."""
+
+    X: jnp.ndarray  # (Nmax, D) opt-frame, min-max scaled numerics
+    y: jnp.ndarray  # (Nmax, 1) standardized
+    mask: jnp.ndarray  # (Nmax,) bool
+    x_lb: jnp.ndarray  # (D,) scaling params: numeric cols min
+    x_span: jnp.ndarray  # (D,) numeric cols span
+    y_mean: jnp.ndarray  # ()
+    y_std: jnp.ndarray  # ()
+
+
+class GPCache(NamedTuple):
+    """Posterior cache after fit: Cholesky factor + weights."""
+
+    L: jnp.ndarray  # (Nmax, Nmax)
+    alpha: jnp.ndarray  # (Nmax, 1)
+    ok: jnp.ndarray  # () bool — factorization succeeded
+    feats: jnp.ndarray  # (Nmax, D_feat) features (scaled numerics + embeddings)
+
+
+class GPCore:
+    """Static-config functional core.  All methods are pure and jittable."""
+
+    def __init__(
+        self,
+        numeric_dims: Tuple[int, ...],
+        cat_dims: Tuple[int, ...],
+        num_categories: Tuple[int, ...],
+        kernel: str = "matern32",
+        noise_lb: float = 8.9e-5,
+        emb_dim: Optional[int] = None,
+        optimizer: str = "psgld",
+        n_steps: int = 100,
+        lr: float = 0.05,
+        psgld_burnin_frac: float = 0.5,
+        n_ensemble: int = 1,
+    ):
+        self.numeric_dims = tuple(numeric_dims)
+        self.cat_dims = tuple(cat_dims)
+        self.num_categories = tuple(num_categories)
+        self.kernel_name = kernel
+        self.kfn = MATERN_FNS[kernel]
+        self.noise_lb = noise_lb
+        self.optimizer = optimizer
+        self.n_steps = n_steps
+        self.lr = lr
+        self.psgld_burnin_frac = psgld_burnin_frac
+        self.n_ensemble = max(1, n_ensemble)
+
+        maxc = max(self.num_categories) if self.num_categories else 0
+        self.emb_dim = emb_dim if emb_dim is not None else min(50, 1 + maxc // 2)
+        self.total_cats = sum(self.num_categories)
+        offs, acc = [], 0
+        for c in self.num_categories:
+            offs.append(acc)
+            acc += c
+        self._cat_offsets = np.asarray(offs, dtype=np.int32)
+        self.d_num = len(self.numeric_dims)
+        self.d_feat = self.d_num + len(self.cat_dims) * (
+            self.emb_dim if self.cat_dims else 0
+        )
+
+    # ------------------------------------------------------------- features
+    def features(self, params: GPParams, X: jnp.ndarray, data: GPData) -> jnp.ndarray:
+        """Scaled numeric columns ++ categorical embeddings."""
+        parts = []
+        if self.d_num:
+            xn = X[:, list(self.numeric_dims)]
+            xs = -1.0 + 2.0 * (xn - data.x_lb) / data.x_span
+            parts.append(xs)
+        if self.cat_dims:
+            codes = X[:, list(self.cat_dims)]
+            emb = embed_categorical(
+                codes,
+                params.emb,
+                jnp.asarray(self._cat_offsets),
+                jnp.asarray(self.num_categories, dtype=jnp.int32),
+            )
+            parts.append(emb)
+        return jnp.concatenate(parts, axis=-1)
+
+    def gram(self, params: GPParams, f1: jnp.ndarray, f2: jnp.ndarray) -> jnp.ndarray:
+        ls = jnp.exp(params.log_ls)
+        return jnp.exp(params.log_sc) * self.kfn(f1, f2, ls)
+
+    # ------------------------------------------------------------------ nll
+    def nll(self, params: GPParams, data: GPData) -> jnp.ndarray:
+        """Masked negative log marginal likelihood (padded rows inert)."""
+        f = self.features(params, data.X, data)
+        K = self.gram(params, f, f)
+        noise = jnp.exp(params.log_noise) + self.noise_lb
+        m = data.mask.astype(K.dtype)
+        m2 = m[:, None] * m[None, :]
+        n = K.shape[0]
+        eye = jnp.eye(n, dtype=K.dtype)
+        # padded rows/cols → identity block: logdet/quadratic unaffected
+        Kt = m2 * (K + noise * eye) + eye * (1.0 - m)
+        r = (data.y - params.mean) * m[:, None]
+        L, ok = safe_cholesky(Kt)
+        alpha = chol_solve(L, r)
+        n_act = jnp.sum(m)
+        quad = jnp.sum(r * alpha)
+        logdet = chol_logdet(L)
+        nll = 0.5 * (quad + logdet + n_act * math.log(2.0 * math.pi))
+        return jnp.where(ok, nll, jnp.asarray(1e10, K.dtype))
+
+    def log_prior(self, params: GPParams) -> jnp.ndarray:
+        """Priors mirroring the reference (gp.py:80-90, gp_util.py:39-59):
+        Gamma(0.5, 0.5) on outputscale, LogNormal(log 1e-2, 0.5²)?  The
+        reference uses LogNormal(-4.63, 0.5) on the noise *std*; we place
+        it on noise variance with matching mode, plus a weak LogNormal on
+        lengthscales to keep them near their median-distance init."""
+        sc = jnp.exp(params.log_sc)
+        lp = 0.5 * params.log_sc - 0.5 * sc  # Gamma(0.5, rate 0.5) log-pdf + const
+        lp = lp + (-0.5 * ((params.log_noise - math.log(1e-2)) / 1.0) ** 2)
+        lp = lp + jnp.sum(-0.5 * (params.log_ls / 3.0) ** 2) * 0.1
+        if params.emb.size:
+            lp = lp - 0.5 * jnp.sum(params.emb**2) / 10.0
+        return lp
+
+    def loss(self, params: GPParams, data: GPData) -> jnp.ndarray:
+        return self.nll(params, data) - self.log_prior(params)
+
+    # ----------------------------------------------------------------- init
+    def init_params(self, key: jax.Array, data: GPData) -> GPParams:
+        """Median-pairwise-distance lengthscale init (gp_util.py:48-52)."""
+        ke, kl = jax.random.split(key)
+        if self.total_cats:
+            emb = 0.5 * jax.random.normal(
+                ke, (self.total_cats, self.emb_dim), dtype=jnp.float32
+            )
+        else:
+            emb = jnp.zeros((0, 0), dtype=jnp.float32)
+        p0 = GPParams(
+            log_ls=jnp.zeros((self.d_feat,), jnp.float32),
+            log_sc=jnp.asarray(0.0, jnp.float32),
+            log_noise=jnp.asarray(math.log(1e-2), jnp.float32),
+            mean=jnp.asarray(0.0, jnp.float32),
+            emb=emb,
+        )
+        f = self.features(p0, data.X, data)
+        d2 = sq_dist(f, f)
+        m2 = data.mask[:, None] & data.mask[None, :]
+        d2 = jnp.where(m2 & (d2 > 1e-12), d2, jnp.nan)
+        med = jnp.sqrt(jnp.nanmedian(d2))
+        med = jnp.where(jnp.isfinite(med) & (med > 1e-6), med, 1.0)
+        log_ls = jnp.full((self.d_feat,), jnp.log(med), jnp.float32)
+        # mild randomization across restarts
+        log_ls = log_ls + 0.1 * jax.random.normal(kl, (self.d_feat,), jnp.float32)
+        return p0._replace(log_ls=log_ls)
+
+    # ------------------------------------------------------------------ fit
+    def fit_from(
+        self, key: jax.Array, params0: GPParams, data: GPData
+    ) -> Tuple[GPParams, jnp.ndarray, GPParams]:
+        """Run the optimizer; returns (final_params, final_loss, samples).
+
+        ``samples`` is a GPParams pytree with a leading ensemble axis of
+        size ``n_ensemble`` — for pSGLD these are thinned post-burn-in
+        iterates (reference pSGLD default, sgld.py:55-114); for Adam they
+        are ``n_ensemble`` copies of the MAP point.
+        """
+        grad_fn = jax.grad(lambda p: self.loss(p, data))
+        lr = self.lr
+        n = self.n_steps
+        burn = int(n * self.psgld_burnin_frac)
+        S = self.n_ensemble
+        # thinning schedule: sample at steps burn + k*(n-burn)//S
+        sample_steps = jnp.asarray(
+            [burn + (k * max(n - burn, 1)) // S for k in range(S)], dtype=jnp.int32
+        )
+
+        def clip(g):
+            return jax.tree.map(lambda t: jnp.clip(t, -1e3, 1e3), g)
+
+        if self.optimizer == "adam":
+            import optax
+
+            opt = optax.adam(lr)
+
+            def step(carry, i):
+                p, st, k = carry
+                g = clip(grad_fn(p))
+                up, st = opt.update(g, st, p)
+                p = jax.tree.map(lambda a, b: a + b, p, up)
+                return (p, st, k), self.loss(p, data)
+
+            (pf, _, _), _ = jax.lax.scan(
+                step, (params0, opt.init(params0), key), jnp.arange(n)
+            )
+            samples = jax.tree.map(lambda t: jnp.broadcast_to(t, (S,) + t.shape), pf)
+            return pf, self.loss(pf, data), samples
+
+        # pSGLD (reference models/nn/sgld.py:55-114): RMSProp-preconditioned
+        # Langevin — V ← αV + (1-α)g²; G = 1/(λ+√V);
+        # Δ = -lr/2·G·g + N(0, lr·G)
+        alpha_rms = 0.99
+        lam = 1e-5
+
+        def step(carry, i):
+            p, V, k = carry
+            g = clip(grad_fn(p))
+            V = jax.tree.map(lambda v, gi: alpha_rms * v + (1 - alpha_rms) * gi**2, V, g)
+            k, ksub = jax.random.split(k)
+            leaves = jax.tree.leaves(p)
+            keys = jax.random.split(ksub, len(leaves))
+            keys = jax.tree.unflatten(jax.tree.structure(p), list(keys))
+            inject = (i >= burn).astype(jnp.float32)
+
+            def upd(pi, vi, gi, ki):
+                G = 1.0 / (lam + jnp.sqrt(vi))
+                noise = jnp.sqrt(jnp.maximum(lr * G, 0.0)) * jax.random.normal(
+                    ki, pi.shape, pi.dtype
+                )
+                return pi - 0.5 * lr * G * gi + inject * noise
+
+            p = jax.tree.map(upd, p, V, g, keys)
+            return (p, V, k), p
+
+        V0 = jax.tree.map(jnp.zeros_like, params0)
+        (pf, _, _), traj = jax.lax.scan(step, (params0, V0, key), jnp.arange(n))
+        samples = jax.tree.map(lambda t: t[sample_steps], traj)
+        return pf, self.loss(pf, data), samples
+
+    # ------------------------------------------------------------ posterior
+    def posterior_cache(self, params: GPParams, data: GPData) -> GPCache:
+        f = self.features(params, data.X, data)
+        K = self.gram(params, f, f)
+        noise = jnp.exp(params.log_noise) + self.noise_lb
+        m = data.mask.astype(K.dtype)
+        m2 = m[:, None] * m[None, :]
+        n = K.shape[0]
+        eye = jnp.eye(n, dtype=K.dtype)
+        Kt = m2 * (K + noise * eye) + eye * (1.0 - m)
+        r = (data.y - params.mean) * m[:, None]
+        L, ok = safe_cholesky(Kt)
+        alpha = chol_solve(L, r)
+        return GPCache(L=L, alpha=alpha, ok=ok, feats=f)
+
+    def predict_scaled(
+        self, params: GPParams, cache: GPCache, data: GPData, Xs: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Posterior (mu, var) in the *standardized-y* frame for opt-frame
+        candidates Xs (P, D)."""
+        fs = self.features(params, Xs, data)
+        Ks = self.gram(params, cache.feats, fs)  # (N, P)
+        m = data.mask.astype(Ks.dtype)
+        Ks = Ks * m[:, None]
+        mu = params.mean + Ks.T @ cache.alpha  # (P, 1)
+        v = jax.scipy.linalg.solve_triangular(cache.L, Ks, lower=True)  # (N, P)
+        kss = jnp.exp(params.log_sc)  # stationary kernels: k(x,x) = outputscale
+        var = jnp.maximum(kss - jnp.sum(v * v, axis=0), 1e-10)[:, None]
+        # unit-Gaussian fallback on total factorization failure (gp.py:140-157)
+        mu = jnp.where(cache.ok, mu, jnp.zeros_like(mu))
+        var = jnp.where(cache.ok, var, jnp.ones_like(var))
+        return mu, var
+
+    def predict_ensemble(
+        self, samples: GPParams, caches: GPCache, data: GPData, Xs: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Moment-matched mixture over the hyperparameter-sample axis."""
+        mus, vars_ = jax.vmap(
+            lambda p, c: self.predict_scaled(p, c, data, Xs)
+        )(samples, caches)
+        mu = jnp.mean(mus, axis=0)
+        var = jnp.mean(vars_ + mus**2, axis=0) - mu**2
+        return mu, jnp.maximum(var, 1e-10)
+
+    def joint_sample_scaled(
+        self,
+        key: jax.Array,
+        params: GPParams,
+        cache: GPCache,
+        data: GPData,
+        Xs: jnp.ndarray,
+        n_samples: int,
+    ) -> jnp.ndarray:
+        """Joint posterior draws at Xs — Thompson sampling support.
+
+        Returns (n_samples, P) in the standardized-y frame."""
+        fs = self.features(params, Xs, data)
+        Ks = self.gram(params, cache.feats, fs) * data.mask.astype(jnp.float32)[:, None]
+        Kss = self.gram(params, fs, fs)
+        mu = (params.mean + Ks.T @ cache.alpha)[:, 0]
+        v = jax.scipy.linalg.solve_triangular(cache.L, Ks, lower=True)
+        cov = Kss - v.T @ v
+        Lc, _ = safe_cholesky(cov, base_jitter=1e-5)
+        z = jax.random.normal(key, (n_samples, Xs.shape[0]), dtype=mu.dtype)
+        return mu[None, :] + z @ Lc.T
+
+
+# ------------------------------------------------------------------ wrapper
+def _make_data(
+    X: np.ndarray,
+    y: np.ndarray,
+    numeric_dims,
+    n_pad: int,
+) -> GPData:
+    """Host-side: filter NaNs, standardize y, min-max-fit numerics, pad."""
+    X = np.asarray(X, dtype=np.float32)
+    y = np.asarray(y, dtype=np.float32).reshape(len(X), -1)[:, :1]
+    ok = np.isfinite(y[:, 0]) & np.all(np.isfinite(X), axis=1)
+    X, y = X[ok], y[ok]
+    n = len(X)
+    y_mean = float(np.mean(y)) if n else 0.0
+    y_std = float(np.std(y)) if n else 1.0
+    y_std = y_std if y_std > 1e-8 else 1.0
+    nd = list(numeric_dims)
+    if nd and n:
+        lb = X[:, nd].min(axis=0)
+        ub = X[:, nd].max(axis=0)
+    else:
+        lb = np.zeros(len(nd), np.float32)
+        ub = np.ones(len(nd), np.float32)
+    span = np.where(ub - lb < 1e-8, 1.0, ub - lb)
+    Xp = np.zeros((n_pad, X.shape[1]), np.float32)
+    yp = np.zeros((n_pad, 1), np.float32)
+    mask = np.zeros((n_pad,), bool)
+    Xp[:n] = X
+    yp[:n] = (y - y_mean) / y_std
+    mask[:n] = True
+    return GPData(
+        X=jnp.asarray(Xp),
+        y=jnp.asarray(yp),
+        mask=jnp.asarray(mask),
+        x_lb=jnp.asarray(lb),
+        x_span=jnp.asarray(span),
+        y_mean=jnp.asarray(y_mean, jnp.float32),
+        y_std=jnp.asarray(y_std, jnp.float32),
+    )
+
+
+@register_model("gp")
+class GP(BaseModel):
+    """Host-side wrapper: pads to buckets, caches jitted programs."""
+
+    support_ts = True
+    support_grad = True
+    support_warm_start = True
+
+    def __init__(self, space, num_out: int = 1, **conf):
+        super().__init__(space, num_out=num_out, **conf)
+        assert num_out == 1, "GP is single-output; use multi_task wrapper"
+        num_cats = [int(space.num_categories[c]) for c in space.cat_dims]
+        self.core = GPCore(
+            numeric_dims=tuple(space.numeric_dims) + tuple(space.perm_dims),
+            cat_dims=tuple(space.cat_dims),
+            num_categories=tuple(num_cats),
+            kernel=conf.get("kernel", "matern32"),
+            noise_lb=conf.get("noise_lb", 8.9e-5),
+            emb_dim=conf.get("emb_dim"),
+            optimizer=conf.get("optimizer", "psgld"),
+            n_steps=conf.get("num_epochs", 100),
+            lr=conf.get("lr", 0.05),
+            n_ensemble=conf.get("n_ensemble", 1),
+        )
+        self.n_restarts = conf.get("n_restarts", 1)
+        self._seed = conf.get("seed", 0)
+        self._fit_jit = {}
+        self._pred_jit = {}
+        self.params: Optional[GPParams] = None
+        self.samples = None
+        self.caches = None
+        self.data: Optional[GPData] = None
+
+    # ----------------------------------------------------------------- fit
+    def _get_fit_fn(self, n_pad):
+        if n_pad not in self._fit_jit:
+            core = self.core
+            R = self.n_restarts
+
+            @jax.jit
+            def fit_fn(key, data: GPData):
+                keys = jax.random.split(key, R)
+
+                def one(k):
+                    k1, k2 = jax.random.split(k)
+                    p0 = core.init_params(k1, data)
+                    return core.fit_from(k2, p0, data)
+
+                pf, loss, samples = jax.vmap(one)(keys)
+                best = jnp.argmin(loss)
+                pf = jax.tree.map(lambda t: t[best], pf)
+                samples = jax.tree.map(lambda t: t[best], samples)
+                caches = jax.vmap(lambda p: core.posterior_cache(p, data))(samples)
+                return pf, samples, caches
+
+            self._fit_jit[n_pad] = fit_fn
+        return self._fit_jit[n_pad]
+
+    def fit(self, X, y):
+        from ...utils.dtypes import pad_bucket
+
+        n = len(X)
+        n_pad = pad_bucket(max(n, 2))
+        self.data = _make_data(X, y, self.core.numeric_dims, n_pad)
+        key = jax.random.PRNGKey(self._seed)
+        self._seed += 1
+        fit_fn = self._get_fit_fn(n_pad)
+        self.params, self.samples, self.caches = fit_fn(key, self.data)
+        return self
+
+    # ------------------------------------------------------------- predict
+    def _get_pred_fn(self, n_pad, p_pad):
+        k = (n_pad, p_pad)
+        if k not in self._pred_jit:
+            core = self.core
+
+            @jax.jit
+            def pred_fn(samples, caches, data, Xs):
+                return core.predict_ensemble(samples, caches, data, Xs)
+
+            self._pred_jit[k] = pred_fn
+        return self._pred_jit[k]
+
+    def predict(self, X):
+        assert self.data is not None, "fit first"
+        from ...utils.dtypes import pad_bucket
+
+        X = np.asarray(X, dtype=np.float32)
+        p = len(X)
+        p_pad = pad_bucket(p)
+        Xp = np.zeros((p_pad, X.shape[1]), np.float32)
+        Xp[:p] = X
+        fn = self._get_pred_fn(self.data.X.shape[0], p_pad)
+        mu, var = fn(self.samples, self.caches, self.data, jnp.asarray(Xp))
+        mu = np.asarray(mu)[:p]
+        var = np.asarray(var)[:p]
+        ys = float(self.data.y_std)
+        ym = float(self.data.y_mean)
+        return mu * ys + ym, var * ys**2
+
+    def sample_f(self, n_samples: int = 1, seed: int = 0):
+        """Return f(X) -> (n_samples, n, 1) draws from the joint posterior."""
+        assert self.data is not None
+
+        def f(Xq: np.ndarray) -> np.ndarray:
+            key = jax.random.PRNGKey(seed)
+            p0 = jax.tree.map(lambda t: t[0], self.samples)
+            c0 = jax.tree.map(lambda t: t[0], self.caches)
+            draws = self.core.joint_sample_scaled(
+                key, p0, c0, self.data, jnp.asarray(Xq, jnp.float32), n_samples
+            )
+            ys, ym = float(self.data.y_std), float(self.data.y_mean)
+            return np.asarray(draws)[:, :, None] * ys + ym
+
+        return f
+
+    @property
+    def noise(self):
+        if self.params is None:
+            return np.zeros(1)
+        ys = float(self.data.y_std)
+        return np.asarray(
+            [float(jnp.exp(self.params.log_noise) + self.core.noise_lb) * ys**2]
+        )

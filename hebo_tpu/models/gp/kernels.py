@@ -1,0 +1,180 @@
+"""GP kernels as pure jnp Gram-matrix functions.
+
+Parity targets (re-derived, not translated):
+* Matérn-3/2 / 5/2 / 1/2 + RBF with ARD lengthscales — the reference's main
+  surrogate kernel (HEBO/hebo/models/gp/gp_util.py:22-66 ``default_kern``:
+  Matérn(xc) × Matérn(embedded xe), ScaleKernel outside).
+* Categorical embedding: learned ``(n_cats_total, emb_dim)`` table applied
+  as ``one_hot(codes) @ E`` — the reference's ``EmbTransform`` /
+  ``DummyFeatureExtractor`` (models/layers.py:7-60, gp_util.py:84-105) as a
+  single MXU matmul.
+* Combinatorial kernel zoo (MCBO/mcbo/models/gp/kernels.py): ``Overlap``
+  (:94), ``TransformedOverlap`` (:127), ``OrdinalKernel`` (:166),
+  ``DiffusionKernel`` (:354), ``HEDKernel`` (:637) — all expressed as
+  batched one-hot contractions / masked reductions that XLA fuses.
+
+All distance computations use the ‖a-b‖² = ‖a‖² + ‖b‖² - 2a·b expansion so
+the O(N²D) work is one MXU matmul instead of a broadcasted subtract.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "sq_dist",
+    "matern12",
+    "matern32",
+    "matern52",
+    "rbf",
+    "embed_categorical",
+    "overlap",
+    "transformed_overlap",
+    "ordinal_kernel",
+    "diffusion_kernel",
+    "hed_embed",
+]
+
+
+def sq_dist(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise squared Euclidean distance, MXU-friendly.
+
+    x1: (N, D), x2: (M, D) → (N, M), clamped at 0 for fp safety.
+    """
+    n1 = jnp.sum(x1 * x1, axis=-1, keepdims=True)  # (N, 1)
+    n2 = jnp.sum(x2 * x2, axis=-1, keepdims=True).T  # (1, M)
+    cross = jnp.dot(x1, x2.T, preferred_element_type=x1.dtype)
+    return jnp.maximum(n1 + n2 - 2.0 * cross, 0.0)
+
+
+def _scaled(x: jnp.ndarray, lengthscales: jnp.ndarray) -> jnp.ndarray:
+    return x / lengthscales
+
+
+def matern12(x1, x2, lengthscales):
+    d = jnp.sqrt(sq_dist(_scaled(x1, lengthscales), _scaled(x2, lengthscales)) + 1e-16)
+    return jnp.exp(-d)
+
+
+def matern32(x1, x2, lengthscales):
+    d = jnp.sqrt(sq_dist(_scaled(x1, lengthscales), _scaled(x2, lengthscales)) + 1e-16)
+    s = math.sqrt(3.0) * d
+    return (1.0 + s) * jnp.exp(-s)
+
+
+def matern52(x1, x2, lengthscales):
+    d2 = sq_dist(_scaled(x1, lengthscales), _scaled(x2, lengthscales))
+    d = jnp.sqrt(d2 + 1e-16)
+    s = math.sqrt(5.0) * d
+    return (1.0 + s + 5.0 * d2 / 3.0) * jnp.exp(-s)
+
+
+def rbf(x1, x2, lengthscales):
+    d2 = sq_dist(_scaled(x1, lengthscales), _scaled(x2, lengthscales))
+    return jnp.exp(-0.5 * d2)
+
+
+MATERN_FNS = {"matern12": matern12, "matern32": matern32, "matern52": matern52, "rbf": rbf}
+
+
+def embed_categorical(
+    codes: jnp.ndarray, emb_table: jnp.ndarray, cat_offsets: jnp.ndarray,
+    num_categories: jnp.ndarray,
+) -> jnp.ndarray:
+    """Map integer category codes to learned embeddings via one-hot matmul.
+
+    codes: (N, C) float/int codes per categorical column.
+    emb_table: (sum_cats, E) learned table (GP hyperparameter).
+    cat_offsets: (C,) start row of each column's block in the table.
+    num_categories: (C,) cardinalities (for one-hot width = max).
+
+    Returns (N, C*E) concatenated embeddings.  The one-hot contraction is a
+    single (N, sum_cats) @ (sum_cats, E) MXU matmul.
+    """
+    n, c = codes.shape
+    total = emb_table.shape[0]
+    flat_idx = codes.astype(jnp.int32) + cat_offsets[None, :].astype(jnp.int32)
+    onehot = jax.nn.one_hot(flat_idx, total, dtype=emb_table.dtype)  # (N, C, total)
+    emb = jnp.einsum("nct,te->nce", onehot, emb_table)
+    return emb.reshape(n, -1)
+
+
+# ------------------------------------------------------- combinatorial zoo
+def overlap(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Category-agreement (Hamming similarity) kernel.
+
+    Parity: MCBO ``Overlap`` (models/gp/kernels.py:94).
+    x: (N, C) integer codes → mean agreement in [0, 1].
+    """
+    agree = (x1[:, None, :] == x2[None, :, :]).astype(jnp.float32)
+    return jnp.mean(agree, axis=-1)
+
+
+def transformed_overlap(
+    x1: jnp.ndarray, x2: jnp.ndarray, lengthscales: jnp.ndarray
+) -> jnp.ndarray:
+    """exp of per-dimension-scaled agreement.
+
+    Parity: MCBO ``TransformedOverlap`` (models/gp/kernels.py:127):
+    k = exp( mean_d θ_d · 1[x1_d == x2_d] ), normalized to k(x,x)=1.
+    """
+    agree = (x1[:, None, :] == x2[None, :, :]).astype(lengthscales.dtype)
+    s = jnp.mean(agree * lengthscales[None, None, :], axis=-1)
+    s_max = jnp.mean(lengthscales)
+    return jnp.exp(s - s_max)
+
+
+def ordinal_kernel(x1, x2, lengthscales, num_values):
+    """Normalized absolute-difference kernel for ordinal codes.
+
+    Parity: MCBO ``OrdinalKernel`` (models/gp/kernels.py:166).
+    """
+    diff = jnp.abs(x1[:, None, :] - x2[None, :, :]) / jnp.maximum(
+        num_values[None, None, :] - 1.0, 1.0
+    )
+    s = jnp.mean((1.0 - diff) * lengthscales[None, None, :], axis=-1)
+    return jnp.exp(s - jnp.mean(lengthscales))
+
+
+def diffusion_kernel(
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    betas: jnp.ndarray,
+    num_categories: jnp.ndarray,
+) -> jnp.ndarray:
+    """Graph-diffusion kernel on the complete graph per categorical dim.
+
+    Parity: MCBO ``DiffusionKernel`` (models/gp/kernels.py:354) specialised
+    to the complete-graph Laplacian whose eigenexpansion has the closed
+    form used by COMBO:  per dim with cardinality c and decay β:
+      k(a, b) = (1 - e^{-cβ}) / (1 + (c-1) e^{-cβ})   if a ≠ b
+                1                                      if a = b
+    (up to normalization), multiplied over dims.
+    """
+    c = num_categories.astype(x2.dtype if x2.dtype != jnp.int32 else jnp.float32)
+    e = jnp.exp(-c * betas)  # (C,)
+    same_val = (1.0 + (c - 1.0) * e) / (1.0 + (c - 1.0) * e)  # = 1
+    diff_val = (1.0 - e) / (1.0 + (c - 1.0) * e)
+    agree = x1[:, None, :] == x2[None, :, :]
+    per_dim = jnp.where(agree, same_val[None, None, :], diff_val[None, None, :])
+    return jnp.prod(per_dim, axis=-1)
+
+
+def hed_embed(
+    codes: jnp.ndarray,
+    dictionary: jnp.ndarray,
+) -> jnp.ndarray:
+    """Hamming embedding via dictionary (HED).
+
+    Parity: MCBO ``HEDKernel`` (models/gp/kernels.py:637): embed a point as
+    its Hamming similarity to ``m`` random dictionary anchors; downstream a
+    numeric kernel (Matérn/RBF) acts on the embedding.
+
+    codes: (N, C); dictionary: (m, C) → (N, m) similarities.
+    """
+    agree = (codes[:, None, :] == dictionary[None, :, :]).astype(jnp.float32)
+    return jnp.mean(agree, axis=-1)

@@ -1,0 +1,68 @@
+"""Robust Cholesky with an in-graph jitter ladder.
+
+The reference recovers from non-PSD kernel matrices by escalating jitter
+×10 in a *python* retry loop around torch.cholesky
+(HEBO/hebo/models/gp/gp.py:103-126) and by rolling back model state on
+NotPSDError (MCBO/mcbo/models/gp/exact_gp.py:176-213).  On TPU a python
+retry would force a retrace/recompile per failure; here the whole ladder
+is a fixed-length ``lax.scan`` inside the jitted program: we attempt the
+factorization at every rung, detect NaNs in the factor, and select the
+first rung that succeeded.  Cost: LADDER extra factorizations only in the
+(rare) failure case is avoided by ``lax.cond``-gating each rung on the
+previous rung's failure — XLA still compiles all rungs, but only the
+needed ones execute dense math.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["safe_cholesky", "chol_solve", "chol_logdet"]
+
+_LADDER = (0.0, 1e-6, 1e-4, 1e-2, 1.0)
+
+
+def safe_cholesky(K: jnp.ndarray, base_jitter: float = 1e-6):
+    """Cholesky of ``K + jitter*I`` escalating jitter until success.
+
+    Returns ``(L, ok)`` where ``ok`` is False only if even the largest
+    rung failed (callers then fall back to a unit-Gaussian posterior,
+    mirroring reference gp.py:140-157).
+    """
+    n = K.shape[-1]
+    eye = jnp.eye(n, dtype=K.dtype)
+    diag_mean = jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1), axis=-1)
+    # scale-aware jitter: rungs are relative to the mean diagonal
+    scale = jnp.maximum(diag_mean, 1e-12)
+
+    def attempt(jit_mult):
+        L = jnp.linalg.cholesky(K + (base_jitter + jit_mult * scale) * eye)
+        ok = jnp.all(jnp.isfinite(L))
+        return L, ok
+
+    L, ok = attempt(jnp.asarray(0.0, K.dtype))
+
+    for rung in _LADDER[1:]:
+        rung = jnp.asarray(rung, K.dtype)
+
+        def retry(_):
+            return attempt(rung)
+
+        def keep(args):
+            return args
+
+        L, ok = lax.cond(ok, keep, retry, (L, ok))
+    return L, ok
+
+
+def chol_solve(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve ``K x = b`` given ``K = L L^T``."""
+    y = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+
+
+def chol_logdet(L: jnp.ndarray) -> jnp.ndarray:
+    """log|K| from the Cholesky factor."""
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)

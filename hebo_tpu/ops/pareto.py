@@ -1,0 +1,144 @@
+"""Multi-objective building blocks as fixed-shape XLA ops.
+
+The reference delegates nondominated sorting / crowding distance to pymoo
+(HEBO/hebo/acq_optimizers/evolution_optimizer.py:133-139, Dominator usage
+in optimizers/general.py:160-172).  Here they are pure jnp functions over
+a ``(P, M)`` objective tensor — population is the leading (vectorized)
+axis, everything is O(P²) dense masked ops which XLA maps onto the
+VPU/MXU; no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = [
+    "domination_matrix",
+    "nondominated_rank",
+    "crowding_distance",
+    "nsga2_key",
+    "pareto_mask",
+    "hypervolume_mc",
+]
+
+_INF = jnp.inf
+
+
+def domination_matrix(F: jnp.ndarray, valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """``D[i, j] = True`` iff point i dominates point j (minimization).
+
+    ``valid``: optional (P,) bool mask; invalid rows dominate nothing and
+    are dominated by everything (they sink to the worst front).
+    """
+    le = jnp.all(F[:, None, :] <= F[None, :, :], axis=-1)
+    lt = jnp.any(F[:, None, :] < F[None, :, :], axis=-1)
+    D = le & lt
+    if valid is not None:
+        D = D & valid[:, None]  # invalid i dominates nothing
+        D = D | ((~valid)[None, :] & valid[:, None])  # valid dominates invalid
+        D = D & ~((~valid)[:, None] & (~valid)[None, :])
+    return D
+
+
+def nondominated_rank(F: jnp.ndarray, valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Front index per point (0 = Pareto front), via iterative peeling.
+
+    Fixed shape: a fori_loop of at most P iterations over the (P, P)
+    domination matrix; P is the (static) population size.
+    """
+    P = F.shape[0]
+    D = domination_matrix(F, valid)
+    n_dom = jnp.sum(D, axis=0)  # how many dominate j
+
+    def body(i, state):
+        rank, n_dom, assigned = state
+        front = (n_dom == 0) & (~assigned)
+        rank = jnp.where(front, i, rank)
+        assigned = assigned | front
+        # remove the front's domination contributions
+        removed = jnp.sum(D & front[:, None], axis=0)
+        n_dom = jnp.where(assigned, n_dom, n_dom - removed)
+        return rank, n_dom, assigned
+
+    rank0 = jnp.full((P,), P, dtype=jnp.int32)
+    rank, _, _ = lax.fori_loop(
+        0, P, body, (rank0, n_dom, jnp.zeros((P,), dtype=bool))
+    )
+    return rank
+
+
+def crowding_distance(F: jnp.ndarray, rank: jnp.ndarray) -> jnp.ndarray:
+    """NSGA-II crowding distance computed *within* each front.
+
+    Sort by (rank, objective) per objective; neighbors in the sorted order
+    that share a rank contribute distance; front boundary points get +inf.
+    """
+    P, M = F.shape
+    big = jnp.asarray(1e30, F.dtype)
+
+    def one_obj(f):
+        # stable sort by (rank, f): rank-major composite key
+        order = jnp.lexsort((f, rank))
+        f_s = f[order]
+        r_s = rank[order]
+        prev_same = jnp.concatenate([jnp.array([False]), r_s[1:] == r_s[:-1]])
+        next_same = jnp.concatenate([r_s[:-1] == r_s[1:], jnp.array([False])])
+        f_prev = jnp.concatenate([f_s[:1], f_s[:-1]])
+        f_next = jnp.concatenate([f_s[1:], f_s[-1:]])
+        # span per front: masked min/max via segment ops replaced by scan-free
+        # approach — normalize by global span (pymoo normalizes per front;
+        # boundary=inf dominates selection so the normalization constant only
+        # reorders interior ties)
+        span = jnp.maximum(jnp.max(f) - jnp.min(f), 1e-12)
+        d = jnp.where(
+            prev_same & next_same,
+            (f_next - f_prev) / span,
+            big,
+        )
+        out = jnp.zeros_like(d).at[order].set(d)
+        return out
+
+    dists = jax.vmap(one_obj, in_axes=1, out_axes=1)(F)
+    d = jnp.sum(jnp.minimum(dists, big), axis=1)
+    return jnp.where(jnp.any(dists >= big, axis=1), _INF, d)
+
+
+def nsga2_key(rank: jnp.ndarray, crowd: jnp.ndarray) -> jnp.ndarray:
+    """Composite scalar sort key: ascending rank, descending crowding."""
+    c = jnp.where(jnp.isinf(crowd), 1e30, crowd)
+    c = jnp.clip(c, 0.0, 1e30)
+    return rank.astype(jnp.float32) * 1e3 - jnp.tanh(c / 10.0) * 0.999
+
+
+def pareto_mask(F: jnp.ndarray, valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Boolean mask of nondominated (Pareto-optimal) points.
+
+    Parity: reference ``get_pf`` (HEBO/hebo/optimizers/general.py:160-172).
+    """
+    D = domination_matrix(F, valid)
+    mask = ~jnp.any(D, axis=0)
+    if valid is not None:
+        mask = mask & valid
+    return mask
+
+
+def hypervolume_mc(
+    F: jnp.ndarray,
+    ref_point: jnp.ndarray,
+    key: jax.Array,
+    n_samples: int = 8192,
+) -> jnp.ndarray:
+    """Monte-Carlo hypervolume of the dominated region below ``ref_point``.
+
+    Used by EHVI-style batch selection (reference general.py:110-139 uses
+    pymoo's exact HV; MC keeps shapes static for any M on device).
+    """
+    M = F.shape[-1]
+    lo = jnp.min(F, axis=0)
+    u = jax.random.uniform(key, (n_samples, M), dtype=F.dtype)
+    pts = lo + u * (ref_point - lo)
+    dominated = jnp.any(jnp.all(F[None, :, :] <= pts[:, None, :], axis=-1), axis=1)
+    vol_box = jnp.prod(ref_point - lo)
+    return jnp.mean(dominated.astype(F.dtype)) * vol_box

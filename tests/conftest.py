@@ -1,0 +1,34 @@
+"""Test harness config: force the CPU backend with 8 virtual devices.
+
+The container's sitecustomize registers a remote TPU PJRT plugin (with
+remote compilation) in every interpreter, which is both slow and
+single-client.  Tests must run on the local CPU backend with a virtual
+8-device mesh so sharding paths are exercised without a pod
+(SURVEY.md §4 "multi-host tests via --xla_force_host_platform_device_count").
+
+Because the plugin registers at interpreter startup (before pytest), we
+re-exec pytest once with a scrubbed environment.
+"""
+
+import os
+import sys
+
+if os.environ.get("PALLAS_AXON_POOL_IPS") and os.environ.get("_HEBO_TPU_TEST_REEXEC") != "1":
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    xla_flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        env["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+    env["_HEBO_TPU_TEST_REEXEC"] = "1"
+    os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
