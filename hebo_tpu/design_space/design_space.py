@@ -189,7 +189,8 @@ class DesignSpace:
         permutations (Sobol has no meaning there).
         """
         eng = qmc.Sobol(d=self.num_cols, scramble=True, seed=seed)
-        u = eng.random(n)
+        m = max(1, int(np.ceil(np.log2(max(n, 2)))))
+        u = eng.random_base2(m)[:n]  # power-of-2 draw keeps balance props
         x = self.opt_lb + u * (self.opt_ub - self.opt_lb)
         if self.perm_blocks:
             rng = np.random.default_rng(seed)

@@ -499,6 +499,19 @@ class GP(BaseModel):
 
         return f
 
+    # ------------------------------------------------- pure-state protocol
+    @property
+    def state(self):
+        """Model-state pytree consumed by ``predict_pure`` — passed as an
+        argument into jitted acquisition-optimization programs."""
+        return (self.samples, self.caches, self.data)
+
+    def predict_pure(self, state, Xs: jnp.ndarray):
+        """Pure (mu, var) in the raw-y frame; jit/vmap-safe."""
+        samples, caches, data = state
+        mu, var = self.core.predict_ensemble(samples, caches, data, Xs)
+        return mu * data.y_std + data.y_mean, var * data.y_std**2
+
     @property
     def noise(self):
         if self.params is None:

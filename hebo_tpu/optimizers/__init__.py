@@ -1,0 +1,2 @@
+from .base import AbstractOptimizer
+from .hebo import HEBO

@@ -1,0 +1,4 @@
+from .synthetic import (
+    Ackley, Branin, Hartmann6, Levy, Rosenbrock, Schwefel, StyblinskiTang,
+    SyntheticTask, get_task,
+)

@@ -1,0 +1,198 @@
+"""Synthetic benchmark suite.
+
+Parity: reference benchmarks (HEBO/hebo/benchmarks/synthetic_benchmarks.py:
+22-186): Ackley, Branin, Rosenbrock, Hartmann6, Styblinski-Tang, Schwefel,
+plus noisy / dummy-dimension / offset variants, exposed with the ask/tell
+DataFrame convention.  Evaluation is plain numpy (black boxes stay
+host-side by design — SURVEY.md §7 "Host/device split").
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from ..design_space import DesignSpace
+
+__all__ = [
+    "SyntheticTask",
+    "Ackley",
+    "Branin",
+    "Rosenbrock",
+    "Hartmann6",
+    "StyblinskiTang",
+    "Schwefel",
+    "Levy",
+    "get_task",
+]
+
+
+class SyntheticTask:
+    """Minimization task over a continuous box with optional noise /
+    inactive dummy dims / input offset."""
+
+    dim: int = 2
+    lb: float = -1.0
+    ub: float = 1.0
+    fmin: float = 0.0
+
+    def __init__(
+        self,
+        dim: Optional[int] = None,
+        noise_std: float = 0.0,
+        num_dummy: int = 0,
+        offset: float = 0.0,
+        seed: int = 0,
+    ):
+        if dim is not None:
+            self.dim = dim
+        self.noise_std = noise_std
+        self.num_dummy = num_dummy
+        self.offset = offset
+        self._rng = np.random.default_rng(seed)
+
+    @property
+    def space(self) -> DesignSpace:
+        total = self.dim + self.num_dummy
+        return DesignSpace(
+            [
+                {"name": f"x{i}", "type": "num", "lb": self.lb, "ub": self.ub}
+                for i in range(total)
+            ]
+        )
+
+    def _f(self, X: np.ndarray) -> np.ndarray:
+        raise NotImplementedError
+
+    def __call__(self, df: pd.DataFrame) -> np.ndarray:
+        X = df[[f"x{i}" for i in range(self.dim)]].values.astype(float)
+        y = self._f(X - self.offset).reshape(-1, 1)
+        if self.noise_std > 0:
+            y = y + self.noise_std * self._rng.standard_normal(y.shape)
+        return y
+
+
+class Ackley(SyntheticTask):
+    dim = 6
+    lb, ub = -32.768, 32.768
+    fmin = 0.0
+
+    def _f(self, X):
+        a, b, c = 20.0, 0.2, 2 * np.pi
+        d = X.shape[1]
+        s1 = np.sqrt(np.mean(X**2, axis=1))
+        s2 = np.mean(np.cos(c * X), axis=1)
+        return -a * np.exp(-b * s1) - np.exp(s2) + a + np.e
+
+
+class Branin(SyntheticTask):
+    dim = 2
+    fmin = 0.397887
+
+    @property
+    def space(self):
+        return DesignSpace(
+            [
+                {"name": "x0", "type": "num", "lb": -5.0, "ub": 10.0},
+                {"name": "x1", "type": "num", "lb": 0.0, "ub": 15.0},
+            ]
+        )
+
+    def _f(self, X):
+        x, y = X[:, 0], X[:, 1]
+        a, b, c = 1.0, 5.1 / (4 * np.pi**2), 5.0 / np.pi
+        r, s, t = 6.0, 10.0, 1.0 / (8 * np.pi)
+        return a * (y - b * x**2 + c * x - r) ** 2 + s * (1 - t) * np.cos(x) + s
+
+
+class Rosenbrock(SyntheticTask):
+    dim = 2
+    lb, ub = -5.0, 10.0
+    fmin = 0.0
+
+    def _f(self, X):
+        return np.sum(
+            100.0 * (X[:, 1:] - X[:, :-1] ** 2) ** 2 + (1 - X[:, :-1]) ** 2, axis=1
+        )
+
+
+class Hartmann6(SyntheticTask):
+    dim = 6
+    lb, ub = 0.0, 1.0
+    fmin = -3.32237
+
+    _A = np.array(
+        [
+            [10, 3, 17, 3.5, 1.7, 8],
+            [0.05, 10, 17, 0.1, 8, 14],
+            [3, 3.5, 1.7, 10, 17, 8],
+            [17, 8, 0.05, 10, 0.1, 14],
+        ]
+    )
+    _P = 1e-4 * np.array(
+        [
+            [1312, 1696, 5569, 124, 8283, 5886],
+            [2329, 4135, 8307, 3736, 1004, 9991],
+            [2348, 1451, 3522, 2883, 3047, 6650],
+            [4047, 8828, 8732, 5743, 1091, 381],
+        ]
+    )
+    _alpha = np.array([1.0, 1.2, 3.0, 3.2])
+
+    def _f(self, X):
+        inner = np.sum(self._A[None] * (X[:, None, :] - self._P[None]) ** 2, axis=2)
+        return -np.sum(self._alpha[None] * np.exp(-inner), axis=1)
+
+
+class StyblinskiTang(SyntheticTask):
+    dim = 4
+    lb, ub = -5.0, 5.0
+
+    @property
+    def fmin(self):
+        return -39.16599 * self.dim
+
+    def _f(self, X):
+        return 0.5 * np.sum(X**4 - 16 * X**2 + 5 * X, axis=1)
+
+
+class Schwefel(SyntheticTask):
+    dim = 4
+    lb, ub = -500.0, 500.0
+    fmin = 0.0
+
+    def _f(self, X):
+        return 418.9829 * X.shape[1] - np.sum(X * np.sin(np.sqrt(np.abs(X))), axis=1)
+
+
+class Levy(SyntheticTask):
+    dim = 4
+    lb, ub = -10.0, 10.0
+    fmin = 0.0
+
+    def _f(self, X):
+        w = 1 + (X - 1) / 4.0
+        t1 = np.sin(np.pi * w[:, 0]) ** 2
+        t2 = np.sum(
+            (w[:, :-1] - 1) ** 2 * (1 + 10 * np.sin(np.pi * w[:, :-1] + 1) ** 2),
+            axis=1,
+        )
+        t3 = (w[:, -1] - 1) ** 2 * (1 + np.sin(2 * np.pi * w[:, -1]) ** 2)
+        return t1 + t2 + t3
+
+
+_TASKS = {
+    "ackley": Ackley,
+    "branin": Branin,
+    "rosenbrock": Rosenbrock,
+    "hartmann6": Hartmann6,
+    "styblinski_tang": StyblinskiTang,
+    "schwefel": Schwefel,
+    "levy": Levy,
+}
+
+
+def get_task(name: str, **kw) -> SyntheticTask:
+    return _TASKS[name](**kw)
