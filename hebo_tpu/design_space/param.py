@@ -224,6 +224,12 @@ class IntegerParam(Parameter):
     def is_numeric(self):
         return True
 
+    @property
+    def is_discrete_after_transform(self):
+        # integer box: the opt frame itself is integral (pymoo Integer-var
+        # semantics in the reference EvolutionOpt)
+        return True
+
 
 class PowIntegerParam(PowParam):
     """Log-scale integer parameter.
