@@ -1,0 +1,60 @@
+"""Benchmark: HEBO suggest-step wall-clock on Ackley-6D (batch=8).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's only citable per-suggest cost is ~7.8 s/suggest
+(HEBO on the AntBO 11-mer antigen space, CPU —
+/root/reference/AntBO/results_data/HEBO_optim_res.csv `Suggest Time`
+column, rows 1-3: 7.6-8.1 s; BASELINE.md).  ``vs_baseline`` is the speedup
+factor  baseline_seconds / our_seconds  (higher is better).
+
+Protocol: seed 120 Sobol observations (one padding bucket), run one warmup
+suggest to compile, then time 5 steady-state suggests (model fit + MACE +
+NSGA-II pop=100 × 100 gens + batch selection) and report the median.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    from hebo_tpu import HEBO
+    from hebo_tpu.tasks import Ackley
+
+    task = Ackley(dim=6)
+    space = task.space
+    opt = HEBO(space, model_config={"num_epochs": 100})
+
+    # seed history: 120 quasi-random points → N stays in the 128-bucket
+    init = opt.quasi_sample(120)
+    opt.observe(init, task(init))
+
+    # warmup (compiles fit + evolve programs for this bucket)
+    rec = opt.suggest(8)
+    opt.observe(rec, task(rec))
+
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        rec = opt.suggest(8)
+        times.append(time.time() - t0)
+        opt.observe(rec, task(rec))
+
+    value = float(np.median(times))
+    baseline = 7.8
+    print(
+        json.dumps(
+            {
+                "metric": "hebo_suggest_latency_ackley6d_b8",
+                "value": round(value, 4),
+                "unit": "s",
+                "vs_baseline": round(baseline / value, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

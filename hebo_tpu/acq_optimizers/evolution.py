@@ -128,8 +128,7 @@ def _cat_ops(key, p1, p2, lb, ub, prob_mut=None):
     return jnp.where(reset, jnp.clip(rand_cat, lb, ub), child)
 
 
-@partial(jax.jit, static_argnames=("eval_fn", "meta", "n_gens"))
-def evolve(
+def evolve_raw(
     key: jax.Array,
     init_pop: jnp.ndarray,
     eval_args,
@@ -138,7 +137,8 @@ def evolve(
     meta: EvolveSpaceMeta,
     n_gens: int = 100,
 ):
-    """Run NSGA-II (or GA when eval_fn yields 1 objective) fully on device.
+    """Unjitted evolutionary loop — composable inside shard_map (island
+    parallelism, hebo_tpu.parallel) or vmapped restarts.
 
     ``eval_fn(eval_args, X) → (P, n_out)`` pure; ``eval_args`` is the
     dynamic pytree (model state + acq params) so refits don't retrace.
@@ -183,6 +183,9 @@ def evolve(
     F0 = evaluate(init_pop)
     (Xf, Ff, _), _ = lax.scan(gen_step, (init_pop, F0, key), None, length=n_gens)
     return _round_discrete(Xf, meta), Ff
+
+
+evolve = jax.jit(evolve_raw, static_argnames=("eval_fn", "meta", "n_gens"))
 
 
 class EvolutionOpt:

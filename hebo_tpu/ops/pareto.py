@@ -62,10 +62,11 @@ def nondominated_rank(F: jnp.ndarray, valid: jnp.ndarray | None = None) -> jnp.n
         n_dom = jnp.where(assigned, n_dom, n_dom - removed)
         return rank, n_dom, assigned
 
-    rank0 = jnp.full((P,), P, dtype=jnp.int32)
-    rank, _, _ = lax.fori_loop(
-        0, P, body, (rank0, n_dom, jnp.zeros((P,), dtype=bool))
-    )
+    # derive inits from F so shard_map varying-axis metadata propagates
+    # (a bare jnp.full constant would be unvarying and break scan carries)
+    zero = (F[:, 0] * 0).astype(jnp.int32)
+    rank0 = zero + P
+    rank, _, _ = lax.fori_loop(0, P, body, (rank0, n_dom, zero.astype(bool)))
     return rank
 
 
