@@ -104,6 +104,19 @@ class MultiTaskModel(BaseModel):
         mus, vars_ = zip(*[m.predict(X) for m in self.models])
         return np.concatenate(mus, axis=-1), np.concatenate(vars_, axis=-1)
 
+    # pure-state protocol (jit-safe prediction inside acquisition loops)
+    @property
+    def state(self):
+        return tuple(m.state for m in self.models)
+
+    def predict_pure(self, states, Xs):
+        import jax.numpy as jnp
+
+        outs = [m.predict_pure(s, Xs) for m, s in zip(self.models, states)]
+        mu = jnp.concatenate([o[0] for o in outs], axis=-1)
+        var = jnp.concatenate([o[1] for o in outs], axis=-1)
+        return mu, var
+
     @property
     def noise(self):
         return np.concatenate([m.noise for m in self.models])

@@ -1,2 +1,11 @@
 from .base import AbstractOptimizer
+from .bo import BO
+from .cmaes import CMAES
+from .evolution import Evolution
+from .general import GeneralBO
 from .hebo import HEBO
+from .hebo_contextual import HEBO_VectorContextual
+from .hebo_embedding import HEBO_Embedding, gen_emb_space, gen_proj_matrix
+from .noisy_opt import NoisyAcq, NoisyOpt
+from .nomr import AbsEtaDifference, NoMR_BO
+from .util import parse_space_from_bayesmark
