@@ -408,6 +408,13 @@ class GP(BaseModel):
             n_ensemble=conf.get("n_ensemble", 1),
         )
         self.n_restarts = conf.get("n_restarts", 1)
+        # posterior-over-hyperparameters mode: 'map' (Adam/pSGLD point or
+        # pSGLD thinned ensemble, reference parity) or the north-star
+        # samplers 'hmc' | 'svi' | 'smc' (models/gp/inference.py)
+        self.inference = conf.get("inference", "map")
+        self.n_chains = conf.get("n_chains", 4)
+        self.n_warmup = conf.get("n_warmup", 64)
+        self.n_particles = conf.get("n_particles", 32)
         self._seed = conf.get("seed", 0)
         self._fit_jit = {}
         self._pred_jit = {}
@@ -421,9 +428,12 @@ class GP(BaseModel):
         if n_pad not in self._fit_jit:
             core = self.core
             R = self.n_restarts
+            S = core.n_ensemble
+            inference = self.inference
+            n_chains, n_warmup = self.n_chains, self.n_warmup
+            n_particles = self.n_particles
 
-            @jax.jit
-            def fit_fn(key, data: GPData):
+            def map_fit(key, data):
                 keys = jax.random.split(key, R)
 
                 def one(k):
@@ -435,6 +445,54 @@ class GP(BaseModel):
                 best = jnp.argmin(loss)
                 pf = jax.tree.map(lambda t: t[best], pf)
                 samples = jax.tree.map(lambda t: t[best], samples)
+                return pf, samples
+
+            @jax.jit
+            def fit_fn(key, data: GPData):
+                from .inference import hmc_sample, smc_sample, svi_fit
+
+                k_map, k_inf = jax.random.split(key)
+                pf, samples = map_fit(k_map, data)
+
+                def logp(p):
+                    return -core.loss(p, data)
+
+                if inference == "hmc":
+                    k_init, k_run = jax.random.split(k_inf)
+                    jitter_keys = jax.random.split(k_init, n_chains)
+                    chain0 = jax.vmap(
+                        lambda kk: jax.tree.map(
+                            lambda t: t
+                            + 0.05 * jax.random.normal(kk, t.shape, t.dtype),
+                            pf,
+                        )
+                    )(jitter_keys)
+                    n_per = max(1, S)
+                    draws, _acc = hmc_sample(
+                        logp, chain0, k_run,
+                        n_chains=n_chains, n_warmup=n_warmup, n_samples=n_per,
+                    )
+                    flat = jax.tree.map(
+                        lambda t: t.reshape((t.shape[0] * t.shape[1],) + t.shape[2:]),
+                        draws,
+                    )
+                    take = jnp.linspace(
+                        0, n_per * n_chains - 1, S
+                    ).astype(jnp.int32)
+                    samples = jax.tree.map(lambda t: t[take], flat)
+                elif inference == "svi":
+                    samples, _elbo = svi_fit(logp, pf, k_inf, n_samples=S)
+                elif inference == "smc":
+                    k_init, k_run = jax.random.split(k_inf)
+                    pkeys = jax.random.split(k_init, n_particles)
+                    parts0 = jax.vmap(lambda kk: core.init_params(kk, data))(pkeys)
+                    parts, _logZ = smc_sample(
+                        core.log_prior,
+                        lambda p: -core.nll(p, data),
+                        parts0, k_run,
+                    )
+                    take = jnp.linspace(0, n_particles - 1, S).astype(jnp.int32)
+                    samples = jax.tree.map(lambda t: t[take], parts)
                 caches = jax.vmap(lambda p: core.posterior_cache(p, data))(samples)
                 return pf, samples, caches
 
