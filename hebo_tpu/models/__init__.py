@@ -1,2 +1,8 @@
-from .base import BaseModel, MODEL_REGISTRY, get_model, get_model_class, register_model, MultiTaskModel
-from .gp.gp import GP
+from .base import (
+    BaseModel, MODEL_REGISTRY, MultiTaskModel, get_model, get_model_class,
+    register_model,
+)
+from .gp.gp import GP, WarpedGP
+from .gp.svgp import SVGP
+from .nn.deep_ensemble import DeepEnsemble
+from .rf import RF

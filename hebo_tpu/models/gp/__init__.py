@@ -1,2 +1,3 @@
-from .gp import GP, GPCore, GPParams, GPData, GPCache
-from . import kernels
+from .gp import GP, GPCore, GPParams, GPData, GPCache, WarpedGP
+from .svgp import SVGP, SVGPParams
+from . import kernels, inference

@@ -48,6 +48,8 @@ class GPParams(NamedTuple):
     log_noise: jnp.ndarray  # () observation noise variance
     mean: jnp.ndarray  # () constant mean
     emb: jnp.ndarray  # (total_cats, E) categorical embedding table (or (0, 0))
+    log_wa: jnp.ndarray  # (D_num,) Kumaraswamy warp a (log); zeros = identity-ish
+    log_wb: jnp.ndarray  # (D_num,) Kumaraswamy warp b (log)
 
 
 class GPData(NamedTuple):
@@ -87,6 +89,7 @@ class GPCore:
         lr: float = 0.05,
         psgld_burnin_frac: float = 0.5,
         n_ensemble: int = 1,
+        input_warp: bool = False,
     ):
         self.numeric_dims = tuple(numeric_dims)
         self.cat_dims = tuple(cat_dims)
@@ -95,6 +98,7 @@ class GPCore:
         self.kfn = MATERN_FNS[kernel]
         self.noise_lb = noise_lb
         self.optimizer = optimizer
+        self.input_warp = input_warp
         self.n_steps = n_steps
         self.lr = lr
         self.psgld_burnin_frac = psgld_burnin_frac
@@ -119,8 +123,15 @@ class GPCore:
         parts = []
         if self.d_num:
             xn = X[:, list(self.numeric_dims)]
-            xs = -1.0 + 2.0 * (xn - data.x_lb) / data.x_span
-            parts.append(xs)
+            u = jnp.clip((xn - data.x_lb) / data.x_span, 0.0, 1.0)
+            if self.input_warp:
+                # Kumaraswamy CDF warp u → 1 - (1 - u^a)^b (parity with the
+                # reference's GPy InputWarpedGP, gpy_wgp.py:27-146)
+                a = jnp.exp(params.log_wa)
+                b = jnp.exp(params.log_wb)
+                ua = jnp.power(jnp.clip(u, 1e-6, 1.0 - 1e-6), a)
+                u = 1.0 - jnp.power(jnp.clip(1.0 - ua, 1e-6, 1.0), b)
+            parts.append(2.0 * u - 1.0)
         if self.cat_dims:
             codes = X[:, list(self.cat_dims)]
             emb = embed_categorical(
@@ -169,6 +180,10 @@ class GPCore:
         lp = lp + jnp.sum(-0.5 * (params.log_ls / 3.0) ** 2) * 0.1
         if params.emb.size:
             lp = lp - 0.5 * jnp.sum(params.emb**2) / 10.0
+        if self.input_warp:
+            # keep the warp near identity unless the data insists
+            lp = lp - 0.5 * jnp.sum((params.log_wa / 0.75) ** 2)
+            lp = lp - 0.5 * jnp.sum((params.log_wb / 0.75) ** 2)
         return lp
 
     def loss(self, params: GPParams, data: GPData) -> jnp.ndarray:
@@ -190,6 +205,8 @@ class GPCore:
             log_noise=jnp.asarray(math.log(1e-2), jnp.float32),
             mean=jnp.asarray(0.0, jnp.float32),
             emb=emb,
+            log_wa=jnp.zeros((self.d_num,), jnp.float32),
+            log_wb=jnp.zeros((self.d_num,), jnp.float32),
         )
         f = self.features(p0, data.X, data)
         d2 = sq_dist(f, f)
@@ -406,6 +423,7 @@ class GP(BaseModel):
             n_steps=conf.get("num_epochs", 100),
             lr=conf.get("lr", 0.05),
             n_ensemble=conf.get("n_ensemble", 1),
+            input_warp=conf.get("input_warp", False),
         )
         self.n_restarts = conf.get("n_restarts", 1)
         # posterior-over-hyperparameters mode: 'map' (Adam/pSGLD point or
@@ -578,3 +596,18 @@ class GP(BaseModel):
         return np.asarray(
             [float(jnp.exp(self.params.log_noise) + self.core.noise_lb) * ys**2]
         )
+
+
+@register_model("gpy_wgp")
+class WarpedGP(GP):
+    """Input-warped GP (Kumaraswamy warping on numeric dims).
+
+    Parity: reference ``GPyGP`` — GPy InputWarpedGP with Kumaraswamy
+    warping and 10-restart optimization (models/gp/gpy_wgp.py:27-146);
+    here warping params are ordinary GP hyperparameters fit jointly, with
+    multi-restart via the vmapped restart axis."""
+
+    def __init__(self, space, num_out: int = 1, **conf):
+        conf.setdefault("input_warp", True)
+        conf.setdefault("n_restarts", 4)
+        super().__init__(space, num_out=num_out, **conf)

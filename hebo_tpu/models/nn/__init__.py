@@ -1,0 +1,1 @@
+from .deep_ensemble import DeepEnsemble

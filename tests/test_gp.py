@@ -104,6 +104,8 @@ def test_posterior_matches_closed_form():
         log_noise=jnp.asarray(np.log(noise), jnp.float32),
         mean=jnp.asarray(0.0, jnp.float32),
         emb=jnp.zeros((0, 0), jnp.float32),
+        log_wa=jnp.zeros((1,), jnp.float32),
+        log_wb=jnp.zeros((1,), jnp.float32),
     )
     cache = core.posterior_cache(params, data)
     Xq = np.array([[-0.5], [0.25], [0.9]], np.float32)
