@@ -70,7 +70,6 @@ class GPCache(NamedTuple):
     L: jnp.ndarray  # (Nmax, Nmax)
     alpha: jnp.ndarray  # (Nmax, 1)
     ok: jnp.ndarray  # () bool — factorization succeeded
-    feats: jnp.ndarray  # (Nmax, D_feat) features (scaled numerics + embeddings)
 
 
 class GPCore:
@@ -82,8 +81,11 @@ class GPCore:
         cat_dims: Tuple[int, ...],
         num_categories: Tuple[int, ...],
         kernel: str = "matern32",
+        cat_kernel: str = "embedding",
         noise_lb: float = 8.9e-5,
         emb_dim: Optional[int] = None,
+        hed_num_anchors: int = 16,
+        ssk_max_subseq: int = 3,
         optimizer: str = "psgld",
         n_steps: int = 100,
         lr: float = 0.05,
@@ -113,9 +115,37 @@ class GPCore:
             acc += c
         self._cat_offsets = np.asarray(offs, dtype=np.int32)
         self.d_num = len(self.numeric_dims)
-        self.d_feat = self.d_num + len(self.cat_dims) * (
-            self.emb_dim if self.cat_dims else 0
-        )
+
+        # categorical-kernel mode (MCBO kernel zoo, SURVEY.md §2.2):
+        #   embedding          — learned embeddings + Matérn (HEBO default)
+        #   overlap            — plain Hamming agreement (MCBO kernels.py:94)
+        #   transformed_overlap— exp-scaled agreement (:127, Casmopolitan)
+        #   diffusion          — complete-graph diffusion (:354, COMBO)
+        #   hed                — Hamming-embedding dictionary (:637, BODi)
+        #   ssk                — string subsequence kernel (:198, BOSS)
+        self.cat_kernel = cat_kernel if self.cat_dims else "embedding"
+        C = len(self.cat_dims)
+        if self.cat_kernel == "hed":
+            rng = np.random.default_rng(7)
+            self.hed_anchors = np.stack(
+                [rng.integers(0, np.asarray(self.num_categories)) for _ in range(hed_num_anchors)]
+            ).astype(np.float32)  # (m, C)
+            n_cat_feat, n_cat_param = hed_num_anchors, 0
+        elif self.cat_kernel == "embedding":
+            n_cat_feat = C * (self.emb_dim if C else 0)
+            n_cat_param = 0
+        elif self.cat_kernel == "overlap":
+            n_cat_feat, n_cat_param = 0, 0
+        elif self.cat_kernel in ("transformed_overlap", "diffusion"):
+            n_cat_feat, n_cat_param = 0, C
+        elif self.cat_kernel == "ssk":
+            n_cat_feat, n_cat_param = 0, 2
+        else:
+            raise ValueError(f"unknown cat_kernel {cat_kernel!r}")
+        self.ssk_max_subseq = ssk_max_subseq
+        self.n_feat_dims = self.d_num + n_cat_feat
+        self.n_cat_param = n_cat_param
+        self.d_feat = self.n_feat_dims + n_cat_param
 
     # ------------------------------------------------------------- features
     def features(self, params: GPParams, X: jnp.ndarray, data: GPData) -> jnp.ndarray:
@@ -132,7 +162,7 @@ class GPCore:
                 ua = jnp.power(jnp.clip(u, 1e-6, 1.0 - 1e-6), a)
                 u = 1.0 - jnp.power(jnp.clip(1.0 - ua, 1e-6, 1.0), b)
             parts.append(2.0 * u - 1.0)
-        if self.cat_dims:
+        if self.cat_dims and self.cat_kernel == "embedding":
             codes = X[:, list(self.cat_dims)]
             emb = embed_categorical(
                 codes,
@@ -141,17 +171,69 @@ class GPCore:
                 jnp.asarray(self.num_categories, dtype=jnp.int32),
             )
             parts.append(emb)
+        elif self.cat_dims and self.cat_kernel == "hed":
+            from .kernels import hed_embed
+
+            codes = X[:, list(self.cat_dims)]
+            parts.append(hed_embed(codes, jnp.asarray(self.hed_anchors)))
+        if not parts:
+            # purely pairwise cat kernel: no euclidean features
+            return jnp.zeros((X.shape[0], 0), X.dtype)
         return jnp.concatenate(parts, axis=-1)
 
     def gram(self, params: GPParams, f1: jnp.ndarray, f2: jnp.ndarray) -> jnp.ndarray:
-        ls = jnp.exp(params.log_ls)
+        """Gram over *feature-space* points (used by SVGP inducing path;
+        only valid for feature-based cat kernels)."""
+        ls = jnp.exp(params.log_ls[: self.n_feat_dims])
         return jnp.exp(params.log_sc) * self.kfn(f1, f2, ls)
+
+    def gram_points(
+        self, params: GPParams, X1: jnp.ndarray, X2: jnp.ndarray, data: GPData
+    ) -> jnp.ndarray:
+        """Gram over opt-frame points: numeric/feature Matérn × categorical
+        kernel (the reference's ``default_kern`` product / MCBO
+        ``MixtureKernel`` structure)."""
+        from .kernels import (
+            diffusion_kernel,
+            overlap,
+            ssk_kernel,
+            transformed_overlap,
+        )
+
+        f1 = self.features(params, X1, data)
+        f2 = self.features(params, X2, data)
+        parts = []
+        if self.n_feat_dims:
+            ls = jnp.exp(params.log_ls[: self.n_feat_dims])
+            parts.append(self.kfn(f1, f2, ls))
+        if self.cat_dims and self.cat_kernel not in ("embedding", "hed"):
+            c1 = X1[:, list(self.cat_dims)]
+            c2 = X2[:, list(self.cat_dims)]
+            cat_p = params.log_ls[self.n_feat_dims :]
+            if self.cat_kernel == "overlap":
+                parts.append(overlap(c1, c2))
+            elif self.cat_kernel == "transformed_overlap":
+                parts.append(transformed_overlap(c1, c2, jnp.exp(cat_p)))
+            elif self.cat_kernel == "diffusion":
+                ncat = jnp.asarray(self.num_categories, jnp.float32)
+                parts.append(
+                    diffusion_kernel(c1, c2, jnp.exp(cat_p), ncat)
+                )
+            elif self.cat_kernel == "ssk":
+                md = jax.nn.sigmoid(cat_p[0])
+                gd = jax.nn.sigmoid(cat_p[1])
+                parts.append(
+                    ssk_kernel(c1, c2, md, gd, max_subseq=self.ssk_max_subseq)
+                )
+        K = parts[0]
+        for p in parts[1:]:
+            K = K * p
+        return jnp.exp(params.log_sc) * K
 
     # ------------------------------------------------------------------ nll
     def nll(self, params: GPParams, data: GPData) -> jnp.ndarray:
         """Masked negative log marginal likelihood (padded rows inert)."""
-        f = self.features(params, data.X, data)
-        K = self.gram(params, f, f)
+        K = self.gram_points(params, data.X, data.X, data)
         noise = jnp.exp(params.log_noise) + self.noise_lb
         m = data.mask.astype(K.dtype)
         m2 = m[:, None] * m[None, :]
@@ -208,13 +290,23 @@ class GPCore:
             log_wa=jnp.zeros((self.d_num,), jnp.float32),
             log_wb=jnp.zeros((self.d_num,), jnp.float32),
         )
-        f = self.features(p0, data.X, data)
-        d2 = sq_dist(f, f)
-        m2 = data.mask[:, None] & data.mask[None, :]
-        d2 = jnp.where(m2 & (d2 > 1e-12), d2, jnp.nan)
-        med = jnp.sqrt(jnp.nanmedian(d2))
-        med = jnp.where(jnp.isfinite(med) & (med > 1e-6), med, 1.0)
-        log_ls = jnp.full((self.d_feat,), jnp.log(med), jnp.float32)
+        if self.n_feat_dims:
+            f = self.features(p0, data.X, data)
+            d2 = sq_dist(f, f)
+            m2 = data.mask[:, None] & data.mask[None, :]
+            d2 = jnp.where(m2 & (d2 > 1e-12), d2, jnp.nan)
+            med = jnp.sqrt(jnp.nanmedian(d2))
+            med = jnp.where(jnp.isfinite(med) & (med > 1e-6), med, 1.0)
+            log_med = jnp.log(med)
+        else:
+            log_med = jnp.asarray(0.0, jnp.float32)
+        # feature dims: median-distance init; trailing cat-kernel params: 0
+        log_ls = jnp.concatenate(
+            [
+                jnp.full((self.n_feat_dims,), log_med, jnp.float32),
+                jnp.zeros((self.n_cat_param,), jnp.float32),
+            ]
+        )
         # mild randomization across restarts
         log_ls = log_ls + 0.1 * jax.random.normal(kl, (self.d_feat,), jnp.float32)
         return p0._replace(log_ls=log_ls)
@@ -294,8 +386,7 @@ class GPCore:
 
     # ------------------------------------------------------------ posterior
     def posterior_cache(self, params: GPParams, data: GPData) -> GPCache:
-        f = self.features(params, data.X, data)
-        K = self.gram(params, f, f)
+        K = self.gram_points(params, data.X, data.X, data)
         noise = jnp.exp(params.log_noise) + self.noise_lb
         m = data.mask.astype(K.dtype)
         m2 = m[:, None] * m[None, :]
@@ -305,15 +396,14 @@ class GPCore:
         r = (data.y - params.mean) * m[:, None]
         L, ok = safe_cholesky(Kt)
         alpha = chol_solve(L, r)
-        return GPCache(L=L, alpha=alpha, ok=ok, feats=f)
+        return GPCache(L=L, alpha=alpha, ok=ok)
 
     def predict_scaled(
         self, params: GPParams, cache: GPCache, data: GPData, Xs: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Posterior (mu, var) in the *standardized-y* frame for opt-frame
         candidates Xs (P, D)."""
-        fs = self.features(params, Xs, data)
-        Ks = self.gram(params, cache.feats, fs)  # (N, P)
+        Ks = self.gram_points(params, data.X, Xs, data)  # (N, P)
         m = data.mask.astype(Ks.dtype)
         Ks = Ks * m[:, None]
         mu = params.mean + Ks.T @ cache.alpha  # (P, 1)
@@ -348,9 +438,10 @@ class GPCore:
         """Joint posterior draws at Xs — Thompson sampling support.
 
         Returns (n_samples, P) in the standardized-y frame."""
-        fs = self.features(params, Xs, data)
-        Ks = self.gram(params, cache.feats, fs) * data.mask.astype(jnp.float32)[:, None]
-        Kss = self.gram(params, fs, fs)
+        Ks = self.gram_points(params, data.X, Xs, data) * data.mask.astype(
+            jnp.float32
+        )[:, None]
+        Kss = self.gram_points(params, Xs, Xs, data)
         mu = (params.mean + Ks.T @ cache.alpha)[:, 0]
         v = jax.scipy.linalg.solve_triangular(cache.L, Ks, lower=True)
         cov = Kss - v.T @ v
@@ -417,8 +508,11 @@ class GP(BaseModel):
             cat_dims=tuple(space.cat_dims),
             num_categories=tuple(num_cats),
             kernel=conf.get("kernel", "matern32"),
+            cat_kernel=conf.get("cat_kernel", "embedding"),
             noise_lb=conf.get("noise_lb", 8.9e-5),
             emb_dim=conf.get("emb_dim"),
+            hed_num_anchors=conf.get("hed_num_anchors", 16),
+            ssk_max_subseq=conf.get("ssk_max_subseq", 3),
             optimizer=conf.get("optimizer", "psgld"),
             n_steps=conf.get("num_epochs", 100),
             lr=conf.get("lr", 0.05),

@@ -164,6 +164,50 @@ def diffusion_kernel(
     return jnp.prod(per_dim, axis=-1)
 
 
+def ssk_kernel(
+    s1: jnp.ndarray,
+    s2: jnp.ndarray,
+    match_decay,
+    gap_decay,
+    max_subseq: int = 3,
+) -> jnp.ndarray:
+    """Normalized string-subsequence kernel as batched MXU matmuls.
+
+    Parity: MCBO ``SubStringKernel`` (models/gp/kernels.py:198, Beck-2017
+    vectorized DP) and AntBO ``FastStringKernel`` (bo/kernels.py:147).
+
+    The DP over subsequence length p uses the gap-decay transfer matrix
+    D[i, j] = λ_g^{j-i-1} (j > i), so each step is two (L × L) matmuls per
+    sequence pair — the whole (N, M) block runs as one einsum per step.
+
+    s1: (N, L), s2: (M, L) integer codes → (N, M) kernel in [0, 1].
+    """
+    L = s1.shape[1]
+    lam_m2 = match_decay * match_decay
+    idx = jnp.arange(L)
+    powers = idx[None, :] - idx[:, None] - 1  # j - i - 1
+    D = jnp.where(powers >= 0, gap_decay ** jnp.maximum(powers, 0), 0.0).astype(
+        jnp.float32
+    )
+
+    def raw(a, b):
+        # a: (..., L), b: (..., L) broadcast match matrix (..., L, L)
+        match = (a[..., :, None] == b[..., None, :]).astype(jnp.float32)
+        Kp = match * lam_m2
+        total = jnp.sum(Kp, axis=(-2, -1))
+        for _ in range(1, max_subseq):
+            inner = jnp.einsum("ij,...jk,kl->...il", D.T, Kp, D)
+            Kp = lam_m2 * match * inner
+            total = total + jnp.sum(Kp, axis=(-2, -1))
+        return total
+
+    cross = raw(s1[:, None, :], s2[None, :, :])  # (N, M)
+    self1 = raw(s1, s1)  # (N,)
+    self2 = raw(s2, s2)  # (M,)
+    denom = jnp.sqrt(jnp.maximum(self1[:, None] * self2[None, :], 1e-12))
+    return cross / denom
+
+
 def hed_embed(
     codes: jnp.ndarray,
     dictionary: jnp.ndarray,
