@@ -1,1 +1,10 @@
-from .evolution import EvolutionOpt, evolve, EvolveSpaceMeta
+from .evolution import EvolutionOpt, evolve, evolve_raw, EvolveSpaceMeta
+from .mcbo_opts import (
+    AcqOptimizerBase,
+    GeneticAlgoAcqOptimizer,
+    InterleavedSearchAcqOptimizer,
+    LocalSearchAcqOptimizer,
+    MixedMabAcqOptimizer,
+    RandomSearchAcqOptimizer,
+    SimulatedAnnealingAcqOptimizer,
+)

@@ -176,6 +176,21 @@ class MACE(Acquisition):
         return jnp.concatenate([lcb, -lei, -lpi], axis=-1)
 
 
+class ThompsonSampling(Acquisition):
+    """Approximate Thompson draw: μ + ε·σ with one shared ε ~ N(0,1) per
+    call (a coherent random confidence bound).  Exact joint-posterior TS is
+    available via ``model.sample_f``; this form keeps the whole
+    acquisition-optimization loop a single jitted program (MCBO
+    thompson_sampling.py:5-16 instead samples the model once per batch —
+    same spirit, device-friendly shape)."""
+
+    def eval_pure(self, model, state, params, X):
+        mu, sigma = _predict(model, state, X)
+        key = params.key if params.key is not None else jax.random.PRNGKey(0)
+        eps = jax.random.normal(key, (1, 1), mu.dtype)
+        return mu + eps * sigma
+
+
 class MOMeanSigmaLCB(Acquisition):
     """2 objectives (μ, -σ) + 1 constraint (LCB < τ).
 

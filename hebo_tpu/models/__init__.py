@@ -6,3 +6,4 @@ from .gp.gp import GP, WarpedGP
 from .gp.svgp import SVGP
 from .nn.deep_ensemble import DeepEnsemble
 from .rf import RF
+from .linreg import LinRegModel
