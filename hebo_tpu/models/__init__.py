@@ -7,3 +7,4 @@ from .gp.svgp import SVGP
 from .nn.deep_ensemble import DeepEnsemble
 from .rf import RF
 from .linreg import LinRegModel
+from .gp.rd_gp import RDGP

@@ -384,6 +384,10 @@ class GPCore:
         samples = jax.tree.map(lambda t: t[sample_steps], traj)
         return pf, self.loss(pf, data), samples
 
+    def prior_diag(self, params: GPParams) -> jnp.ndarray:
+        """k(x, x) — outputscale for normalized stationary kernels."""
+        return jnp.exp(params.log_sc)
+
     # ------------------------------------------------------------ posterior
     def posterior_cache(self, params: GPParams, data: GPData) -> GPCache:
         K = self.gram_points(params, data.X, data.X, data)
@@ -408,7 +412,7 @@ class GPCore:
         Ks = Ks * m[:, None]
         mu = params.mean + Ks.T @ cache.alpha  # (P, 1)
         v = jax.scipy.linalg.solve_triangular(cache.L, Ks, lower=True)  # (N, P)
-        kss = jnp.exp(params.log_sc)  # stationary kernels: k(x,x) = outputscale
+        kss = self.prior_diag(params)  # k(x,x) for normalized kernels
         var = jnp.maximum(kss - jnp.sum(v * v, axis=0), 1e-10)[:, None]
         # unit-Gaussian fallback on total factorization failure (gp.py:140-157)
         mu = jnp.where(cache.ok, mu, jnp.zeros_like(mu))

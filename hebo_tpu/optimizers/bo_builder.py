@@ -49,6 +49,12 @@ ACQ_FUNC_REGISTRY = {
     "mace": MACE,
 }
 
+def _mp_factory(space, **kw):
+    from ..acq_optimizers.message_passing import MessagePassingOptimizer
+
+    return MessagePassingOptimizer(space, **kw)
+
+
 ACQ_OPT_REGISTRY = {
     "is": InterleavedSearchAcqOptimizer,
     "ls": LocalSearchAcqOptimizer,
@@ -56,6 +62,7 @@ ACQ_OPT_REGISTRY = {
     "mab": MixedMabAcqOptimizer,
     "ga": GeneticAlgoAcqOptimizer,
     "rs": RandomSearchAcqOptimizer,
+    "mp": _mp_factory,
 }
 
 # model_id → (get_model name, extra conf)
@@ -93,6 +100,7 @@ class MCBOptimizer(AbstractOptimizer):
         kappa: float = 2.0,
         csv_save_path: Optional[str] = None,
         name: str = "MCBO",
+        relearn_every: Optional[int] = None,
     ):
         super().__init__(space, csv_save_path)
         self.model = model
@@ -102,6 +110,10 @@ class MCBOptimizer(AbstractOptimizer):
         self.n_init = n_init
         self.kappa = kappa
         self.name = name
+        # RDUCB: resample the random decomposition every k observations
+        # (learnDependencyStructureRate, RDUCB algorithms.py:266-340)
+        self.relearn_every = relearn_every
+        self._suggest_count = 0
         self._init_queue = None
         self._sobol_count = 0
 
@@ -117,6 +129,14 @@ class MCBOptimizer(AbstractOptimizer):
 
         if self.tr_manager.needs_restart:
             self.tr_manager.restart(seed=self.num_obs)
+
+        self._suggest_count += 1
+        if (
+            self.relearn_every
+            and hasattr(self.model, "resample_decomposition")
+            and self._suggest_count % self.relearn_every == 0
+        ):
+            self.model.resample_decomposition()
 
         X = self.space.transform(self.X)
         y = self.y[:, :1].copy()
@@ -202,4 +222,5 @@ BO_ALGOS: Dict[str, BoBuilder] = {
     "BOCS": BoBuilder("lin_reg", "sa", "ts", "none", name="BOCS"),
     "BOSS": BoBuilder("gp_ssk", "ga", "ei", "none", name="BOSS"),
     "CoCaBO": BoBuilder("gp_to", "mab", "ei", "none", name="CoCaBO"),
+    "RDUCB": BoBuilder("gp_rd", "mp", "lcb", "none", name="RDUCB"),
 }
