@@ -67,6 +67,7 @@ class HEBO(AbstractOptimizer):
         self._sobol_count = 0
         self.model = None
         self._evo = None
+        self._fused = {}  # bucket → jitted fit+evolve program (GP fast path)
 
     # -------------------------------------------------------------- suggest
     def quasi_sample(self, n: int, fix_input: Optional[dict] = None) -> pd.DataFrame:
@@ -96,17 +97,11 @@ class HEBO(AbstractOptimizer):
         pt = fit_power_transform(yv)
         yt = power_transform_y(yv, pt).reshape(-1, 1)
 
-        t0 = time.time()
         if self.model is None:
             self.model = get_model(self.model_name, space, num_out=1, **self.model_config)
-        self.model.fit(Xv, yt)
-        self.fit_time.append(time.time() - t0)
-
-        # incumbent in the transformed frame: model prediction at best point
-        best_id = int(np.argmin(yt[:, 0]))
-        py, ps2 = self.model.predict(Xv[best_id : best_id + 1])
-        py_best = float(py[0, 0])
-        noise_scale = float(np.sqrt(self.model.noise[0]))
+        if not hasattr(self, "_acq"):
+            self._acq = self.acq_cls() if isinstance(self.acq_cls, type) else self.acq_cls
+        acq = self._acq
 
         # κ schedule (:156-160)
         t = max(1, self.num_obs // n_suggestions)
@@ -116,31 +111,42 @@ class HEBO(AbstractOptimizer):
             2.0 * upsi * ((2.0 + D / 2.0) * math.log(max(t, 1)) + math.log(3 * math.pi**2 / (3 * delta)))
         )
 
-        if not hasattr(self, "_acq"):
-            self._acq = self.acq_cls() if isinstance(self.acq_cls, type) else self.acq_cls
-        acq = self._acq
-        params = AcqParams(
-            tau=jnp.float32(py_best),
-            kappa=jnp.float32(kappa),
-            eps=jnp.float32(1e-4),
-            key=jax.random.PRNGKey(self.num_obs),
-            noise=jnp.float32(noise_scale),
+        use_fused = (
+            type(self.model).__name__ == "GP"
+            and getattr(self.model, "inference", "map") == "map"
         )
-
-        t0 = time.time()
-        if self._evo is None:
-            self._evo = EvolutionOpt(space, acq, pop=self.pop, iters=self.iters)
-        self._evo.acq = acq
-        init = np.vstack([Xv[best_id : best_id + 1]] * 1)
-        pop_X, pop_F = self._evo.optimize(
-            model=self.model,
-            acq_params=params,
-            initial_suggest=init,
-            fix_input=fix_input,
-            return_pop=True,
-            seed=self.num_obs,
-        )
-        self.acq_time.append(time.time() - t0)
+        if use_fused:
+            pop_X, pop_F, mu_pop, var_pop = self._fused_suggest(
+                Xv, yt, kappa, fix_input
+            )
+        else:
+            t0 = time.time()
+            self.model.fit(Xv, yt)
+            self.fit_time.append(time.time() - t0)
+            best_id = int(np.argmin(yt[:, 0]))
+            py, ps2 = self.model.predict(Xv[best_id : best_id + 1])
+            noise_scale = float(np.sqrt(self.model.noise[0]))
+            params = AcqParams(
+                tau=jnp.float32(float(py[0, 0])),
+                kappa=jnp.float32(kappa),
+                eps=jnp.float32(1e-4),
+                key=jax.random.PRNGKey(self.num_obs),
+                noise=jnp.float32(noise_scale),
+            )
+            t0 = time.time()
+            if self._evo is None:
+                self._evo = EvolutionOpt(space, acq, pop=self.pop, iters=self.iters)
+            self._evo.acq = acq
+            pop_X, pop_F = self._evo.optimize(
+                model=self.model,
+                acq_params=params,
+                initial_suggest=Xv[best_id : best_id + 1],
+                fix_input=fix_input,
+                return_pop=True,
+                seed=self.num_obs,
+            )
+            self.acq_time.append(time.time() - t0)
+            mu_pop, var_pop = self.model.predict(pop_X)
 
         # dedupe vs history + random top-up (:166-180)
         hist = {tuple(np.round(r, 6)) for r in X}
@@ -161,11 +167,9 @@ class HEBO(AbstractOptimizer):
             pick = rng.choice(len(fresh_idx), n_suggestions, replace=False)
             sel = [fresh_idx[i] for i in pick]
             rec = pop_X[sel]
-            rec_F = pop_F[sel]
             # elite overrides (:182-193): best-σ explorer + best-μ exploiter
-            mu, var = self.model.predict(pop_X[fresh_idx])
-            explore = fresh_idx[int(np.argmax(var[:, 0]))]
-            exploit = fresh_idx[int(np.argmin(mu[:, 0]))]
+            explore = fresh_idx[int(np.argmax(var_pop[fresh_idx, 0]))]
+            exploit = fresh_idx[int(np.argmin(mu_pop[fresh_idx, 0]))]
             rec[0] = pop_X[explore]
             if n_suggestions > 1:
                 rec[1] = pop_X[exploit]
@@ -181,3 +185,110 @@ class HEBO(AbstractOptimizer):
             for k, v in fix_input.items():
                 df[k] = v
         return df
+
+    # ----------------------------------------------------- fused fast path
+    def _fused_suggest(self, Xv, yt, kappa, fix_input):
+        """ONE device program per padding bucket: GP fit (vmapped restarts)
+        → posterior caches → incumbent → MACE → NSGA-II → population
+        posterior stats.  A single dispatch per BO iteration eliminates the
+        host↔device round trips of the generic path (critical through the
+        remote-TPU tunnel where each dispatch has fixed latency)."""
+        import time
+
+        from ..acq_optimizers.evolution import _space_meta, evolve_raw
+        from ..models.gp.gp import _make_data
+        from ..utils.dtypes import pad_bucket
+
+        space = self.space
+        n_pad = pad_bucket(max(len(Xv), 2))
+        data = _make_data(Xv, yt, self.model.core.numeric_dims, n_pad)
+        meta = _space_meta(space, fix_input)
+        ck = (n_pad, meta)
+        if ck not in self._fused:
+            core = self.model.core
+            acq = self._acq
+            R = self.model.n_restarts
+            iters = self.iters
+
+            class _Shim:
+                @staticmethod
+                def predict_pure(state, Xs):
+                    samples, caches, d = state
+                    mu, var = core.predict_ensemble(samples, caches, d, Xs)
+                    return mu * d.y_std + d.y_mean, var * d.y_std**2
+
+            def eval_fn(args, Xc):
+                state, pr = args
+                return acq.eval_pure(_Shim, state, pr, Xc)
+
+            @jax.jit
+            def fused(key, data, init_pop, kappa_, eps_):
+                k_fit, k_evo, k_jit = jax.random.split(key, 3)
+                keys = jax.random.split(k_fit, R)
+
+                def one(k):
+                    k1, k2 = jax.random.split(k)
+                    p0 = core.init_params(k1, data)
+                    return core.fit_from(k2, p0, data)
+
+                pf, loss, samples = jax.vmap(one)(keys)
+                best = jnp.argmin(loss)
+                pf = jax.tree.map(lambda tt: tt[best], pf)
+                samples = jax.tree.map(lambda tt: tt[best], samples)
+                caches = jax.vmap(lambda p: core.posterior_cache(p, data))(samples)
+                state = (samples, caches, data)
+                # incumbent prediction (standardized → model frame)
+                y_masked = jnp.where(data.mask, data.y[:, 0], jnp.inf)
+                b = jnp.argmin(y_masked)
+                mu_b, _ = core.predict_ensemble(
+                    samples, caches, data, data.X[b][None, :]
+                )
+                tau = mu_b[0, 0] * data.y_std + data.y_mean
+                noise_scale = (
+                    jnp.sqrt(jnp.exp(pf.log_noise) + core.noise_lb) * data.y_std
+                )
+                pr = AcqParams(
+                    tau=tau, kappa=kappa_, eps=eps_, key=k_jit, noise=noise_scale
+                )
+                init = init_pop.at[0].set(data.X[b])
+                pop_X, pop_F = evolve_raw(
+                    k_evo, init, (state, pr),
+                    eval_fn=eval_fn, meta=meta, n_gens=iters,
+                )
+                mu_pop, var_pop = _Shim.predict_pure(state, pop_X)
+                return pop_X, pop_F, mu_pop, var_pop, pf, samples, caches
+
+            self._fused[ck] = fused
+
+        init_pop = space.sobol_sample_opt(self.pop, seed=self.num_obs).astype(
+            np.float32
+        )
+        if fix_input:
+            for name, val in fix_input.items():
+                p = space.params[name]
+                c0 = space._col_of[name]
+                tv = np.asarray(p.transform(np.asarray([val]))).ravel()
+                init_pop[:, c0 : c0 + p.num_cols] = tv[None, :]
+        t0 = time.time()
+        pop_X, pop_F, mu_pop, var_pop, pf, samples, caches = self._fused[ck](
+            jax.random.PRNGKey(self.num_obs),
+            data,
+            jnp.asarray(init_pop),
+            jnp.float32(kappa),
+            jnp.float32(1e-4),
+        )
+        pop_X = np.asarray(pop_X)
+        dt = time.time() - t0
+        self.fit_time.append(dt)  # fused: fit+acq in one program
+        self.acq_time.append(dt)
+        # expose the fitted posterior on the model wrapper (predict etc.)
+        self.model.data = data
+        self.model.params = pf
+        self.model.samples = samples
+        self.model.caches = caches
+        return (
+            space.round_opt(pop_X),
+            np.asarray(pop_F),
+            np.asarray(mu_pop),
+            np.asarray(var_pop),
+        )
