@@ -8,3 +8,4 @@ from .nn.deep_ensemble import DeepEnsemble
 from .rf import RF
 from .linreg import LinRegModel
 from .gp.rd_gp import RDGP
+from .gp.uncertain_gp import UncertainGP
