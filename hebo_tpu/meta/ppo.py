@@ -1,0 +1,233 @@
+"""PPO meta-training of the NAP acquisition policy.
+
+Parity: NAP's RL stack (/root/reference/NAP/nap/RL/):
+  * BO-as-RL environment: an episode = sequential acquisition on a sampled
+    function over a candidate set; reward = (simple-)regret improvement
+    (nap/environment/function_gym_nap.py:1-932),
+  * PPO with GAE, clipped surrogate, entropy bonus (ppo_nap.py:1-622),
+  * distributed data parallelism — the reference's torch DDP/NCCL
+    (ppo_nap.py:31,76-78) becomes ``shard_map`` over a device mesh with a
+    ``psum`` gradient all-reduce (SURVEY.md §2.9 P4).
+
+TPU-native shape: environments are a vmapped batch axis (no Python env
+objects — the whole rollout is a ``lax.scan`` over episode steps inside
+jit); the policy is the TransformerNP with a logit head over candidates
+and a value head.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .nap import TransformerNP, sample_gp_tasks
+
+__all__ = ["NAPPolicy", "ppo_train", "rollout_episodes"]
+
+
+class NAPPolicy(nn.Module):
+    """Transformer over (context, candidates) → per-candidate logits + value."""
+
+    dim_x: int
+    d_model: int = 64
+    n_heads: int = 4
+    n_layers: int = 2
+
+    @nn.compact
+    def __call__(self, Xc, yc, Xq, ctx_mask):
+        B, Nc, _ = Xc.shape
+        Nq = Xq.shape[1]
+        emb_c = nn.Dense(self.d_model)(jnp.concatenate([Xc, yc], axis=-1))
+        emb_q = nn.Dense(self.d_model)(
+            jnp.concatenate([Xq, jnp.zeros((B, Nq, 1), Xq.dtype)], axis=-1)
+        )
+        h = jnp.concatenate([emb_c, emb_q], axis=1)
+        key_ok = jnp.concatenate([ctx_mask, jnp.zeros((B, Nq), bool)], axis=1)
+        mask = jnp.broadcast_to(
+            key_ok[:, None, None, :], (B, self.n_heads, Nc + Nq, Nc + Nq)
+        )
+        for _ in range(self.n_layers):
+            a = nn.MultiHeadDotProductAttention(
+                num_heads=self.n_heads, qkv_features=self.d_model
+            )(h, h, mask=mask)
+            h = nn.LayerNorm()(h + a)
+            f = nn.Dense(self.d_model)(nn.gelu(nn.Dense(2 * self.d_model)(h)))
+            h = nn.LayerNorm()(h + f)
+        logits = nn.Dense(1)(h[:, Nc:, :])[..., 0]  # (B, Nq)
+        ctx_pool = jnp.sum(
+            h[:, :Nc, :] * ctx_mask[..., None], axis=1
+        ) / jnp.maximum(jnp.sum(ctx_mask, axis=1, keepdims=True), 1.0)
+        value = nn.Dense(1)(ctx_pool)[..., 0]  # (B,)
+        return logits, value
+
+
+class Transitions(NamedTuple):
+    actions: jnp.ndarray  # (T, B)
+    log_probs: jnp.ndarray  # (T, B)
+    values: jnp.ndarray  # (T, B)
+    rewards: jnp.ndarray  # (T, B)
+    ys: jnp.ndarray  # (T, B) observed objective at the chosen candidate
+
+
+def rollout_episodes(
+    policy: NAPPolicy, params, key, *, batch: int, n_cand: int, horizon: int
+):
+    """Vectorized BO episodes on freshly sampled GP tasks.
+
+    Returns transitions + the episode context trace needed to recompute
+    log-probs during PPO updates."""
+    kt, kr = jax.random.split(key)
+    Xall, yall = sample_gp_tasks(kt, batch, n_cand, policy.dim_x)
+    y_flat = yall[..., 0]
+    y_min = jnp.min(y_flat, axis=1)  # (B,)
+
+    def step(carry, k):
+        yc_obs, obs_mask, best = carry
+        logits, value = policy.apply(
+            params, Xall, yc_obs[..., None], Xall, obs_mask
+        )
+        # mask out already-observed candidates
+        logits = jnp.where(obs_mask, -1e9, logits)
+        a = jax.random.categorical(k, logits)  # (B,)
+        logp = jax.nn.log_softmax(logits)[jnp.arange(batch), a]
+        y_a = y_flat[jnp.arange(batch), a]
+        new_best = jnp.minimum(best, y_a)
+        reward = best - new_best  # regret improvement ≥ 0
+        obs_mask = obs_mask.at[jnp.arange(batch), a].set(True)
+        yc_obs = yc_obs.at[jnp.arange(batch), a].set(y_a)
+        return (yc_obs, obs_mask, new_best), (a, logp, value, reward, y_a)
+
+    init = (
+        jnp.zeros((batch, n_cand)),
+        jnp.zeros((batch, n_cand), bool),
+        jnp.full((batch,), jnp.max(y_flat)),  # pessimistic start
+    )
+    keys = jax.random.split(kr, horizon)
+    (_, final_mask, final_best), traj = jax.lax.scan(step, init, keys)
+    trans = Transitions(*traj)
+    final_regret = final_best - y_min
+    return trans, Xall, jnp.mean(final_regret)
+
+
+def _gae(rewards, values, gamma=0.99, lam=0.95):
+    T = rewards.shape[0]
+
+    def back(carry, t):
+        adv_next, v_next = carry
+        delta = rewards[t] + gamma * v_next - values[t]
+        adv = delta + gamma * lam * adv_next
+        return (adv, values[t]), adv
+
+    _, advs = jax.lax.scan(
+        back, (jnp.zeros_like(values[0]), jnp.zeros_like(values[0])),
+        jnp.arange(T - 1, -1, -1),
+    )
+    advs = advs[::-1]
+    return advs, advs + values
+
+
+def ppo_train(
+    policy: NAPPolicy,
+    key: jax.Array,
+    *,
+    n_iters: int = 20,
+    batch: int = 16,
+    n_cand: int = 24,
+    horizon: int = 8,
+    n_epochs: int = 2,
+    clip: float = 0.2,
+    lr: float = 3e-4,
+    ent_coef: float = 0.01,
+    vf_coef: float = 0.5,
+    mesh=None,
+    axis: str = "dp",
+):
+    """PPO loop.  With ``mesh`` set, episodes shard across devices and the
+    gradient is psum-reduced (the DDP analog)."""
+    k0, key = jax.random.split(key)
+    Xd, yd = sample_gp_tasks(k0, 1, n_cand, policy.dim_x)
+    params = policy.init(
+        k0, Xd, yd, Xd, jnp.ones((1, n_cand), bool)
+    )
+    opt = optax.adam(lr)
+    opt_state = opt.init(params)
+
+    def update_on(params, opt_state, k):
+        if mesh is not None:  # sharded (n_per_device, …) key block
+            k = k[0]
+        trans, Xall, mean_regret = rollout_episodes(
+            policy, params, k, batch=batch, n_cand=n_cand, horizon=horizon
+        )
+        advs, returns = _gae(trans.rewards, trans.values)
+        advs = (advs - advs.mean()) / (advs.std() + 1e-8)
+
+        def loss_fn(p):
+            # recompute logits along the episode by replaying the stored
+            # (action, observed-y) trace
+            def replay(carry, t):
+                yc_obs, obs_mask = carry
+                logits, value = policy.apply(
+                    p, Xall, yc_obs[..., None], Xall, obs_mask
+                )
+                logits = jnp.where(obs_mask, -1e9, logits)
+                a = trans.actions[t]
+                logp = jax.nn.log_softmax(logits)[jnp.arange(batch), a]
+                ent = -jnp.sum(
+                    jax.nn.softmax(logits) * jax.nn.log_softmax(logits), axis=-1
+                )
+                ratio = jnp.exp(logp - trans.log_probs[t])
+                s1 = ratio * advs[t]
+                s2 = jnp.clip(ratio, 1 - clip, 1 + clip) * advs[t]
+                pg = -jnp.mean(jnp.minimum(s1, s2))
+                vf = jnp.mean((value - returns[t]) ** 2)
+                obs_mask = obs_mask.at[jnp.arange(batch), a].set(True)
+                yc_obs = yc_obs.at[jnp.arange(batch), a].set(trans.ys[t])
+                return (yc_obs, obs_mask), (pg, vf, jnp.mean(ent))
+
+            _, losses = jax.lax.scan(
+                replay,
+                (jnp.zeros((batch, n_cand)), jnp.zeros((batch, n_cand), bool)),
+                jnp.arange(horizon),
+            )
+            pg, vf, ent = losses
+            return jnp.mean(pg) + vf_coef * jnp.mean(vf) - ent_coef * jnp.mean(ent)
+
+        for _ in range(n_epochs):
+            g = jax.grad(loss_fn)(params)
+            if mesh is not None:
+                g = jax.tree.map(lambda t: jax.lax.pmean(t, axis), g)
+            up, opt_state = opt.update(g, opt_state, params)
+            params = jax.tree.map(lambda a, b: a + b, params, up)
+        if mesh is not None:
+            mean_regret = jax.lax.pmean(mean_regret, axis)
+        return params, opt_state, mean_regret
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        update = jax.jit(
+            jax.shard_map(
+                update_on,
+                mesh=mesh,
+                in_specs=(P(), P(), P(axis)),
+                out_specs=(P(), P(), P()),
+                check_vma=False,
+            )
+        )
+    else:
+        update = jax.jit(update_on)
+
+    regrets = []
+    for it in range(n_iters):
+        key, k = jax.random.split(key)
+        if mesh is not None:
+            k = jax.random.split(k, mesh.devices.size)
+        params, opt_state, r = update(params, opt_state, k)
+        regrets.append(float(jnp.mean(r)))
+    return params, np.asarray(regrets)
