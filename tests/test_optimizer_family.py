@@ -179,3 +179,17 @@ def test_sklearn_tuner_smoke():
         hebo_kw={"model_config": {"num_epochs": 8}, "pop": 16, "iters": 8},
     )
     assert 1 <= best["max_depth"] <= 6
+
+
+@pytest.mark.parametrize("cls", ["RandomSearch", "HillClimbing", "SimulatedAnnealing", "LineBO"])
+def test_baseline_optimizers(cls):
+    import hebo_tpu.optimizers as O
+
+    space = DesignSpace(CONT)
+    kw = {"model_config": {"num_epochs": 8}} if cls == "LineBO" else {}
+    opt = getattr(O, cls)(space, **kw)
+    for _ in range(6):
+        rec = opt.suggest(3)
+        opt.observe(rec, _quad(rec))
+    assert np.isfinite(opt.best_y)
+    assert opt.best_y <= float(np.min(opt.y[:3]))
