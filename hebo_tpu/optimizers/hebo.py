@@ -201,7 +201,6 @@ class HEBO(AbstractOptimizer):
 
         space = self.space
         n_pad = pad_bucket(max(len(Xv), 2))
-        data = _make_data(Xv, yt, self.model.core.numeric_dims, n_pad)
         meta = _space_meta(space, fix_input)
         ck = (n_pad, meta)
         if ck not in self._fused:
@@ -221,8 +220,28 @@ class HEBO(AbstractOptimizer):
                 state, pr = args
                 return acq.eval_pure(_Shim, state, pr, Xc)
 
+            nd = list(core.numeric_dims)
+            D = space.num_cols
+
             @jax.jit
-            def fused(key, data, init_pop, kappa_, eps_):
+            def fused(big, scal, init_pop):
+                # unpack: big (Nmax, D+2) = [X | y | mask]; scal (D*2+5,) =
+                # [x_lb, x_span, y_mean, y_std, kappa, eps, seed] — single
+                # transfers keep tunnel round trips at 3 per suggest.
+                from ..models.gp.gp import GPData
+
+                Xp = big[:, :D]
+                yp = big[:, D : D + 1]
+                maskp = big[:, D + 1] > 0.5
+                nnd = len(nd)
+                data = GPData(
+                    X=Xp, y=yp, mask=maskp,
+                    x_lb=scal[:nnd], x_span=scal[nnd : 2 * nnd],
+                    y_mean=scal[2 * nnd], y_std=scal[2 * nnd + 1],
+                )
+                kappa_ = scal[2 * nnd + 2]
+                eps_ = scal[2 * nnd + 3]
+                key = jax.random.PRNGKey(scal[2 * nnd + 4].astype(jnp.int32))
                 k_fit, k_evo, k_jit = jax.random.split(key, 3)
                 keys = jax.random.split(k_fit, R)
 
@@ -256,7 +275,11 @@ class HEBO(AbstractOptimizer):
                     eval_fn=eval_fn, meta=meta, n_gens=iters,
                 )
                 mu_pop, var_pop = _Shim.predict_pure(state, pop_X)
-                return pop_X, pop_F, mu_pop, var_pop, pf, samples, caches
+                # pack outputs → ONE device→host fetch
+                packed_out = jnp.concatenate(
+                    [pop_X, pop_F, mu_pop, var_pop], axis=1
+                )
+                return packed_out, data, pf, samples, caches
 
             self._fused[ck] = fused
 
@@ -269,15 +292,39 @@ class HEBO(AbstractOptimizer):
                 c0 = space._col_of[name]
                 tv = np.asarray(p.transform(np.asarray([val]))).ravel()
                 init_pop[:, c0 : c0 + p.num_cols] = tv[None, :]
+
+        # pack host inputs (3 transfers total: big, scal, init_pop)
+        D = space.num_cols
+        nd = list(self.model.core.numeric_dims)
+        Xv = np.asarray(Xv, np.float32)
+        yt = np.asarray(yt, np.float32).reshape(-1, 1)
+        n = len(Xv)
+        big = np.zeros((n_pad, D + 2), np.float32)
+        big[:n, :D] = Xv
+        y_mean = float(yt.mean()) if n else 0.0
+        y_std = float(yt.std()) if n else 1.0
+        y_std = y_std if y_std > 1e-8 else 1.0
+        big[:n, D] = ((yt[:, 0] - y_mean) / y_std)
+        big[:n, D + 1] = 1.0
+        if nd:
+            lb = Xv[:, nd].min(axis=0)
+            ub = Xv[:, nd].max(axis=0)
+        else:
+            lb = np.zeros(0, np.float32)
+            ub = np.zeros(0, np.float32)
+        span = np.where(ub - lb < 1e-8, 1.0, ub - lb)
+        scal = np.concatenate(
+            [
+                lb, span,
+                [y_mean, y_std, kappa, 1e-4, float(self.num_obs % (1 << 30))],
+            ]
+        ).astype(np.float32)
+
         t0 = time.time()
-        pop_X, pop_F, mu_pop, var_pop, pf, samples, caches = self._fused[ck](
-            jax.random.PRNGKey(self.num_obs),
-            data,
-            jnp.asarray(init_pop),
-            jnp.float32(kappa),
-            jnp.float32(1e-4),
+        packed_out, data, pf, samples, caches = self._fused[ck](
+            jnp.asarray(big), jnp.asarray(scal), jnp.asarray(init_pop)
         )
-        pop_X = np.asarray(pop_X)
+        out = np.asarray(packed_out)
         dt = time.time() - t0
         self.fit_time.append(dt)  # fused: fit+acq in one program
         self.acq_time.append(dt)
@@ -286,9 +333,9 @@ class HEBO(AbstractOptimizer):
         self.model.params = pf
         self.model.samples = samples
         self.model.caches = caches
-        return (
-            space.round_opt(pop_X),
-            np.asarray(pop_F),
-            np.asarray(mu_pop),
-            np.asarray(var_pop),
-        )
+        n_obj = self._acq.num_out
+        pop_X = out[:, :D]
+        pop_F = out[:, D : D + n_obj]
+        mu_pop = out[:, D + n_obj : D + n_obj + 1]
+        var_pop = out[:, D + n_obj + 1 : D + n_obj + 2]
+        return space.round_opt(pop_X), pop_F, mu_pop, var_pop
