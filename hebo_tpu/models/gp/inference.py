@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["hmc_sample", "svi_fit", "smc_sample"]
+__all__ = ["hmc_sample", "svi_fit", "smc_sample", "slice_sample"]
 
 
 # ---------------------------------------------------------------- tree utils
@@ -158,6 +158,85 @@ def hmc_sample(
     # reorder to (n_samples, n_chains, ...)
     samples = jax.tree.map(lambda t: jnp.swapaxes(t, 0, 1), samples)
     return samples, acc
+
+
+# --------------------------------------------------------------------- slice
+def slice_sample(
+    logp: Callable,
+    init_params,
+    key: jax.Array,
+    *,
+    n_samples: int = 10,
+    n_burnin: int = 20,
+    thinning: int = 2,
+    width: float = 1.0,
+    max_stepout: int = 8,
+):
+    """Univariate slice sampling with stepping-out, cycling coordinates.
+
+    Parity: the COMBO GP hyperparameter sampler (MCBO
+    mcbo/utils/sampling.py:33-99, used by combo_gp.py:211-247 with burn-in
+    and thinning).  Gradient-free — the companion to HMC for targets with
+    cheap evaluations; coordinates are flattened from the pytree and
+    updated one at a time inside a ``lax.scan`` (fixed step-out/shrink
+    budgets keep shapes static).
+    """
+    from jax.flatten_util import ravel_pytree
+
+    flat, unravel = ravel_pytree(init_params)
+    dim = flat.shape[0]
+
+    def logp_flat(v):
+        return logp(unravel(v))
+
+    def sample_coord(carry, inp):
+        v, k = carry
+        (i,) = inp
+        k, k1, k2, k3 = jax.random.split(k, 4)
+        x0 = v[i]
+        lp0 = logp_flat(v)
+        log_u = lp0 + jnp.log(jax.random.uniform(k1, ()) + 1e-12)
+        # stepping out
+        r = jax.random.uniform(k2, ())
+        lo = x0 - r * width
+        hi = lo + width
+
+        def out_body(state, _):
+            lo, hi = state
+            lo = jnp.where(logp_flat(v.at[i].set(lo)) > log_u, lo - width, lo)
+            hi = jnp.where(logp_flat(v.at[i].set(hi)) > log_u, hi + width, hi)
+            return (lo, hi), None
+
+        (lo, hi), _ = lax.scan(out_body, (lo, hi), None, length=max_stepout)
+
+        # shrinkage: fixed budget of proposals
+        def shrink_body(state, kk):
+            lo, hi, x, accepted = state
+            prop = lo + jax.random.uniform(kk, ()) * (hi - lo)
+            ok = logp_flat(v.at[i].set(prop)) > log_u
+            x = jnp.where(ok & (~accepted), prop, x)
+            accepted = accepted | ok
+            lo = jnp.where(ok, lo, jnp.where(prop < x0, prop, lo))
+            hi = jnp.where(ok, hi, jnp.where(prop >= x0, prop, hi))
+            return (lo, hi, x, accepted), None
+
+        ks = jax.random.split(k3, 16)
+        (lo, hi, x_new, acc), _ = lax.scan(
+            shrink_body, (lo, hi, x0, jnp.asarray(False)), ks
+        )
+        return (v.at[i].set(x_new), k), None
+
+    total = n_burnin + n_samples * thinning
+
+    def sweep(carry, t):
+        v, k = carry
+        idx = jnp.arange(dim)[:, None]
+        (v, k), _ = lax.scan(sample_coord, (v, k), (idx,))
+        return (v, k), v
+
+    (_, _), trace = lax.scan(sweep, (flat, key), jnp.arange(total))
+    keep = trace[n_burnin :: thinning][:n_samples]
+    return jax.vmap(unravel)(keep)
 
 
 # ----------------------------------------------------------------------- SVI

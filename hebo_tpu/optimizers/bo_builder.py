@@ -101,6 +101,7 @@ class MCBOptimizer(AbstractOptimizer):
         csv_save_path: Optional[str] = None,
         name: str = "MCBO",
         relearn_every: Optional[int] = None,
+        batch_strategy: str = "topk",  # 'topk' | 'kb' (Kriging believer)
     ):
         super().__init__(space, csv_save_path)
         self.model = model
@@ -113,6 +114,11 @@ class MCBOptimizer(AbstractOptimizer):
         # RDUCB: resample the random decomposition every k observations
         # (learnDependencyStructureRate, RDUCB algorithms.py:266-340)
         self.relearn_every = relearn_every
+        # 'kb': batch>1 via Kriging-believer hallucinations — append each
+        # suggestion as a fake observation at its posterior mean and refit
+        # before the next pick (MCBO utils/model_utils.py:28,
+        # interleaved_search_acq_optimizer.py:130-143)
+        self.batch_strategy = batch_strategy
         self._suggest_count = 0
         self._init_queue = None
         self._sobol_count = 0
@@ -159,13 +165,32 @@ class MCBOptimizer(AbstractOptimizer):
             noise=jnp.float32(math.sqrt(max(float(self.model.noise[0]), 0.0))),
         )
         t0 = time.time()
-        rec = self.acq_optimizer.optimize(
-            self.model, self.acq_func, params,
-            n_suggestions=n_suggestions,
-            x_observed=Xv,
-            tr_manager=self.tr_manager,
-            seed=self.num_obs,
-        )
+        if self.batch_strategy == "kb" and n_suggestions > 1:
+            recs = []
+            X_aug, y_aug = Xv.copy(), ys.copy()
+            for j in range(n_suggestions):
+                r = self.acq_optimizer.optimize(
+                    self.model, self.acq_func, params,
+                    n_suggestions=1, x_observed=X_aug,
+                    tr_manager=self.tr_manager, seed=self.num_obs + j,
+                )
+                recs.append(r[0])
+                # hallucinate the observation at the posterior mean + refit
+                mu_h, _ = self.model.predict(r[:1])
+                X_aug = np.vstack([X_aug, r[:1]])
+                y_aug = np.vstack([y_aug, mu_h[:, :1]])
+                self.model.fit(X_aug, y_aug)
+            # restore the model to the real data for the next iteration
+            self.model.fit(Xv, ys)
+            rec = np.stack(recs)
+        else:
+            rec = self.acq_optimizer.optimize(
+                self.model, self.acq_func, params,
+                n_suggestions=n_suggestions,
+                x_observed=Xv,
+                tr_manager=self.tr_manager,
+                seed=self.num_obs,
+            )
         self.acq_time.append(time.time() - t0)
         return self.space.inverse_transform(rec)
 
