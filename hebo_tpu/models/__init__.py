@@ -9,3 +9,4 @@ from .rf import RF
 from .linreg import LinRegModel
 from .gp.rd_gp import RDGP
 from .gp.uncertain_gp import UncertainGP
+from .nn.ensembles_ext import ConditionalDeepEnsemble, GumbelDeepEnsemble, MCBNEnsemble
