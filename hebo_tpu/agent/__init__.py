@@ -1,0 +1,8 @@
+from .core import (
+    ActCommand, Agent, AgentMemory, Command, DecideCommand, DecisionFlow,
+    LoopFlow, SequentialFlow, ThinkCommand,
+)
+from .llm import HFBackend, MockLLM
+from .logger import EpisodeLogger
+from .parsers import parse_action, parse_final_answer
+from .tasks import GridWorldTask, GSM8KStyleTask, TextTask, WebShopStyleTask
