@@ -10,3 +10,4 @@ from .linreg import LinRegModel
 from .gp.rd_gp import RDGP
 from .gp.uncertain_gp import UncertainGP
 from .nn.ensembles_ext import ConditionalDeepEnsemble, GumbelDeepEnsemble, MCBNEnsemble
+from .gp.dkl import DKLGP

@@ -183,6 +183,175 @@ class Levy(SyntheticTask):
         return t1 + t2 + t3
 
 
+class Sphere(SyntheticTask):
+    dim, lb, ub, fmin = 4, -5.0, 5.0, 0.0
+
+    def _f(self, X):
+        return np.sum(X**2, axis=1)
+
+
+class SumSquares(SyntheticTask):
+    dim, lb, ub, fmin = 4, -10.0, 10.0, 0.0
+
+    def _f(self, X):
+        return np.sum(np.arange(1, X.shape[1] + 1)[None] * X**2, axis=1)
+
+
+class Rastrigin(SyntheticTask):
+    dim, lb, ub, fmin = 4, -5.12, 5.12, 0.0
+
+    def _f(self, X):
+        return 10 * X.shape[1] + np.sum(X**2 - 10 * np.cos(2 * np.pi * X), axis=1)
+
+
+class Griewank(SyntheticTask):
+    dim, lb, ub, fmin = 4, -600.0, 600.0, 0.0
+
+    def _f(self, X):
+        i = np.sqrt(np.arange(1, X.shape[1] + 1))
+        return 1 + np.sum(X**2, axis=1) / 4000 - np.prod(np.cos(X / i[None]), axis=1)
+
+
+class Zakharov(SyntheticTask):
+    dim, lb, ub, fmin = 4, -5.0, 10.0, 0.0
+
+    def _f(self, X):
+        s = np.sum(0.5 * np.arange(1, X.shape[1] + 1)[None] * X, axis=1)
+        return np.sum(X**2, axis=1) + s**2 + s**4
+
+
+class Michalewicz(SyntheticTask):
+    dim, lb, ub = 4, 0.0, np.pi
+    fmin = -3.0  # approx at dim 4
+
+    def _f(self, X):
+        i = np.arange(1, X.shape[1] + 1)
+        return -np.sum(
+            np.sin(X) * np.sin(i[None] * X**2 / np.pi) ** 20, axis=1
+        )
+
+
+class Powell(SyntheticTask):
+    dim, lb, ub, fmin = 4, -4.0, 5.0, 0.0
+
+    def _f(self, X):
+        x1, x2, x3, x4 = X[:, 0], X[:, 1], X[:, 2], X[:, 3]
+        return (
+            (x1 + 10 * x2) ** 2 + 5 * (x3 - x4) ** 2
+            + (x2 - 2 * x3) ** 4 + 10 * (x1 - x4) ** 4
+        )
+
+
+class DixonPrice(SyntheticTask):
+    dim, lb, ub, fmin = 4, -10.0, 10.0, 0.0
+
+    def _f(self, X):
+        i = np.arange(2, X.shape[1] + 1)
+        return (X[:, 0] - 1) ** 2 + np.sum(
+            i[None] * (2 * X[:, 1:] ** 2 - X[:, :-1]) ** 2, axis=1
+        )
+
+
+class SixHumpCamel(SyntheticTask):
+    dim, fmin = 2, -1.0316
+
+    @property
+    def space(self):
+        return DesignSpace([
+            {"name": "x0", "type": "num", "lb": -3.0, "ub": 3.0},
+            {"name": "x1", "type": "num", "lb": -2.0, "ub": 2.0},
+        ])
+
+    def _f(self, X):
+        x, y = X[:, 0], X[:, 1]
+        return (4 - 2.1 * x**2 + x**4 / 3) * x**2 + x * y + (-4 + 4 * y**2) * y**2
+
+
+class ThreeHumpCamel(SyntheticTask):
+    dim, lb, ub, fmin = 2, -5.0, 5.0, 0.0
+
+    def _f(self, X):
+        x, y = X[:, 0], X[:, 1]
+        return 2 * x**2 - 1.05 * x**4 + x**6 / 6 + x * y + y**2
+
+
+class Beale(SyntheticTask):
+    dim, lb, ub, fmin = 2, -4.5, 4.5, 0.0
+
+    def _f(self, X):
+        x, y = X[:, 0], X[:, 1]
+        return (
+            (1.5 - x + x * y) ** 2
+            + (2.25 - x + x * y**2) ** 2
+            + (2.625 - x + x * y**3) ** 2
+        )
+
+
+class Booth(SyntheticTask):
+    dim, lb, ub, fmin = 2, -10.0, 10.0, 0.0
+
+    def _f(self, X):
+        x, y = X[:, 0], X[:, 1]
+        return (x + 2 * y - 7) ** 2 + (2 * x + y - 5) ** 2
+
+
+class Matyas(SyntheticTask):
+    dim, lb, ub, fmin = 2, -10.0, 10.0, 0.0
+
+    def _f(self, X):
+        x, y = X[:, 0], X[:, 1]
+        return 0.26 * (x**2 + y**2) - 0.48 * x * y
+
+
+class GoldsteinPrice(SyntheticTask):
+    dim, lb, ub, fmin = 2, -2.0, 2.0, 3.0
+
+    def _f(self, X):
+        x, y = X[:, 0], X[:, 1]
+        a = 1 + (x + y + 1) ** 2 * (
+            19 - 14 * x + 3 * x**2 - 14 * y + 6 * x * y + 3 * y**2
+        )
+        b = 30 + (2 * x - 3 * y) ** 2 * (
+            18 - 32 * x + 12 * x**2 + 48 * y - 36 * x * y + 27 * y**2
+        )
+        return a * b
+
+
+class Easom(SyntheticTask):
+    dim, lb, ub, fmin = 2, -100.0, 100.0, -1.0
+
+    def _f(self, X):
+        x, y = X[:, 0], X[:, 1]
+        return -np.cos(x) * np.cos(y) * np.exp(-((x - np.pi) ** 2 + (y - np.pi) ** 2))
+
+
+class Bohachevsky(SyntheticTask):
+    dim, lb, ub, fmin = 2, -100.0, 100.0, 0.0
+
+    def _f(self, X):
+        x, y = X[:, 0], X[:, 1]
+        return (
+            x**2 + 2 * y**2 - 0.3 * np.cos(3 * np.pi * x)
+            - 0.4 * np.cos(4 * np.pi * y) + 0.7
+        )
+
+
+class McCormick(SyntheticTask):
+    dim, fmin = 2, -1.9133
+
+    @property
+    def space(self):
+        return DesignSpace([
+            {"name": "x0", "type": "num", "lb": -1.5, "ub": 4.0},
+            {"name": "x1", "type": "num", "lb": -3.0, "ub": 4.0},
+        ])
+
+    def _f(self, X):
+        x, y = X[:, 0], X[:, 1]
+        return np.sin(x + y) + (x - y) ** 2 - 1.5 * x + 2.5 * y + 1
+
+
+# SFU-suite registry (parity: MCBO/mcbo/tasks/synthetic/sfu/, 21 functions)
 _TASKS = {
     "ackley": Ackley,
     "branin": Branin,
@@ -191,6 +360,23 @@ _TASKS = {
     "styblinski_tang": StyblinskiTang,
     "schwefel": Schwefel,
     "levy": Levy,
+    "sphere": Sphere,
+    "sum_squares": SumSquares,
+    "rastrigin": Rastrigin,
+    "griewank": Griewank,
+    "zakharov": Zakharov,
+    "michalewicz": Michalewicz,
+    "powell": Powell,
+    "dixon_price": DixonPrice,
+    "six_hump_camel": SixHumpCamel,
+    "three_hump_camel": ThreeHumpCamel,
+    "beale": Beale,
+    "booth": Booth,
+    "matyas": Matyas,
+    "goldstein_price": GoldsteinPrice,
+    "easom": Easom,
+    "bohachevsky": Bohachevsky,
+    "mccormick": McCormick,
 }
 
 
