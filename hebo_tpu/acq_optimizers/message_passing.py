@@ -145,6 +145,11 @@ class MessagePassingOptimizer(AcqOptimizerBase):
         assert hasattr(model, "predict_clique"), (
             "MessagePassingOptimizer needs a decomposition model (gp_rd)"
         )
+        assert all(len(c) <= 2 for c in model.cliques), (
+            "exact message passing requires a pairwise (tree) decomposition; "
+            "use decomposition='tree', or a GA/interleaved acq optimizer for "
+            "overlap/nonoverlap clique covers"
+        )
         tr = self._tr(tr_manager)
         lb, ub = tr.numeric_bounds()
         kappa = float(acq_params.kappa)

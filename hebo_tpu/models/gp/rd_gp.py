@@ -30,7 +30,40 @@ from ...ops.chol import chol_solve, safe_cholesky
 from ..base import BaseModel, register_model
 from .gp import GP, GPCache, GPCore, GPData, GPParams
 
-__all__ = ["random_tree", "RDGPCore", "RDGP"]
+__all__ = ["random_tree", "graph_overlap_cliques", "graph_nonoverlap_cliques", "RDGPCore", "RDGP"]
+
+
+def graph_overlap_cliques(
+    D: int, rng: np.random.Generator, clique_size: int = 3, n_cliques: int = 0
+) -> List[Tuple[int, ...]]:
+    """Random OVERLAPPING clique cover: cliques share dimensions.
+
+    Parity: RDUCB hypothesis-space sampler ``GraphOverlap``
+    (RDUCB/hdbo/function_optimizer.py:62-1032 family)."""
+    n_cliques = n_cliques or max(1, D // max(clique_size - 1, 1))
+    cliques, covered = [], set()
+    while len(cliques) < n_cliques or len(covered) < D:
+        c = tuple(sorted(rng.choice(D, size=min(clique_size, D), replace=False)))
+        cliques.append(c)
+        covered.update(c)
+        if len(cliques) > 4 * n_cliques:
+            break
+    for d in range(D):  # ensure full coverage
+        if d not in covered:
+            cliques.append((d,))
+    return cliques
+
+
+def graph_nonoverlap_cliques(
+    D: int, rng: np.random.Generator, clique_size: int = 3
+) -> List[Tuple[int, ...]]:
+    """Random PARTITION into disjoint cliques (``GraphNonOverlap``)."""
+    perm = list(rng.permutation(D))
+    out = []
+    while perm:
+        out.append(tuple(sorted(perm[:clique_size])))
+        perm = perm[clique_size:]
+    return out
 
 
 def random_tree(D: int, rng: np.random.Generator) -> List[Tuple[int, int]]:
@@ -165,7 +198,19 @@ class RDGP(GP):
         rng = np.random.default_rng(self._decomp_seed)
         self._decomp_seed += 1
         D = space.num_cols
-        self.cliques = random_tree(D, rng)
+        strategy = self._conf.get("decomposition", "tree")
+        if strategy == "tree":
+            self.cliques = random_tree(D, rng)
+        elif strategy == "overlap":
+            self.cliques = graph_overlap_cliques(
+                D, rng, clique_size=self._conf.get("clique_size", 3)
+            )
+        elif strategy == "nonoverlap":
+            self.cliques = graph_nonoverlap_cliques(
+                D, rng, clique_size=self._conf.get("clique_size", 3)
+            )
+        else:
+            raise ValueError(f"unknown decomposition {strategy!r}")
         conf = self._conf
         num_cats = [int(space.num_categories[c]) for c in space.cat_dims]
         self.core = RDGPCore(
