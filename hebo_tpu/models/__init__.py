@@ -11,3 +11,4 @@ from .gp.rd_gp import RDGP
 from .gp.uncertain_gp import UncertainGP
 from .nn.ensembles_ext import ConditionalDeepEnsemble, GumbelDeepEnsemble, MCBNEnsemble
 from .gp.dkl import DKLGP
+from .nn.eac import EACEnsemble
