@@ -52,21 +52,29 @@ def nondominated_rank(F: jnp.ndarray, valid: jnp.ndarray | None = None) -> jnp.n
     D = domination_matrix(F, valid)
     n_dom = jnp.sum(D, axis=0)  # how many dominate j
 
-    def body(i, state):
-        rank, n_dom, assigned = state
+    def cond(state):
+        i, rank, n_dom, assigned = state
+        # stop when every point has a front — typically after #fronts ≪ P
+        # iterations (the fixed-P loop would serialize P tiny steps)
+        return (~jnp.all(assigned)) & (i < P)
+
+    def body(state):
+        i, rank, n_dom, assigned = state
         front = (n_dom == 0) & (~assigned)
         rank = jnp.where(front, i, rank)
         assigned = assigned | front
         # remove the front's domination contributions
         removed = jnp.sum(D & front[:, None], axis=0)
         n_dom = jnp.where(assigned, n_dom, n_dom - removed)
-        return rank, n_dom, assigned
+        return i + 1, rank, n_dom, assigned
 
     # derive inits from F so shard_map varying-axis metadata propagates
     # (a bare jnp.full constant would be unvarying and break scan carries)
     zero = (F[:, 0] * 0).astype(jnp.int32)
     rank0 = zero + P
-    rank, _, _ = lax.fori_loop(0, P, body, (rank0, n_dom, zero.astype(bool)))
+    _, rank, _, _ = lax.while_loop(
+        cond, body, (zero[0] * 0, rank0, n_dom, zero.astype(bool))
+    )
     return rank
 
 
