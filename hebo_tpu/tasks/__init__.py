@@ -3,3 +3,7 @@ from .synthetic import (
     SyntheticTask, get_task,
 )
 from .eda import EDASeqOptTask, random_aag
+from .pest import PestControlTask
+from .rna import RNAInverseFoldTask, nussinov_fold
+from .boils import BoilsTask, SynthesisSession
+from .hpob import SyntheticHPOBTask, TabularBenchmark
