@@ -38,7 +38,7 @@ def main():
 
     task = Ackley(dim=6)
     space = task.space
-    opt = HEBO(space, model_config={"num_epochs": 100})
+    opt = HEBO(space)  # default fit schedule (see experiments/bench_variants)
 
     # seed history: 200 quasi-random points → N stays inside the 256
     # padding bucket for the warmup + 5 timed suggests (one compile)

@@ -60,7 +60,11 @@ class HEBO(AbstractOptimizer):
             rand_sample if rand_sample is not None else 1 + space.num_cols
         )
         self.acq_cls = acq_cls
-        self.model_config = model_config or {}
+        # default fit schedule: 2 vmapped restarts × 50 pSGLD steps beats
+        # 1 × 100 on both wall-clock (fewer sequential Cholesky steps) and
+        # regret (restart diversity) — experiments/bench_variants.py
+        defaults = {"num_epochs": 50, "n_restarts": 2} if model_name == "gp" else {}
+        self.model_config = {**defaults, **(model_config or {})}
         self.scramble_seed = scramble_seed
         self.pop = pop
         self.iters = iters
