@@ -50,6 +50,7 @@ class GPParams(NamedTuple):
     emb: jnp.ndarray  # (total_cats, E) categorical embedding table (or (0, 0))
     log_wa: jnp.ndarray  # (D_num,) Kumaraswamy warp a (log); zeros = identity-ish
     log_wb: jnp.ndarray  # (D_num,) Kumaraswamy warp b (log)
+    noise_w: Optional[jnp.ndarray] = None  # heteroscedastic noise weights
 
 
 class GPData(NamedTuple):
@@ -92,6 +93,7 @@ class GPCore:
         psgld_burnin_frac: float = 0.5,
         n_ensemble: int = 1,
         input_warp: bool = False,
+        heteroscedastic: bool = False,
     ):
         self.numeric_dims = tuple(numeric_dims)
         self.cat_dims = tuple(cat_dims)
@@ -101,6 +103,7 @@ class GPCore:
         self.noise_lb = noise_lb
         self.optimizer = optimizer
         self.input_warp = input_warp
+        self.heteroscedastic = heteroscedastic
         self.n_steps = n_steps
         self.lr = lr
         self.psgld_burnin_frac = psgld_burnin_frac
@@ -230,17 +233,31 @@ class GPCore:
             K = K * p
         return jnp.exp(params.log_sc) * K
 
+    def noise_diag(self, params: GPParams, X: jnp.ndarray, data: GPData):
+        """Per-point observation-noise variance.
+
+        Heteroscedastic mode (north-star requirement): log-noise is
+        modulated by a bounded linear form in the features,
+        σ²(x) = exp(log_noise + 2·tanh(w·φ(x) + b)) — homoscedastic at
+        w = 0, varying over ±2 nats when the data demands it."""
+        base = jnp.exp(params.log_noise) + self.noise_lb
+        if not self.heteroscedastic or params.noise_w is None:
+            return jnp.broadcast_to(base, (X.shape[0],))
+        f = self.features(params, X, data)
+        mod = jnp.tanh(f @ params.noise_w[:-1] + params.noise_w[-1])
+        return jnp.exp(params.log_noise + 2.0 * mod) + self.noise_lb
+
     # ------------------------------------------------------------------ nll
     def nll(self, params: GPParams, data: GPData) -> jnp.ndarray:
         """Masked negative log marginal likelihood (padded rows inert)."""
         K = self.gram_points(params, data.X, data.X, data)
-        noise = jnp.exp(params.log_noise) + self.noise_lb
+        noise = self.noise_diag(params, data.X, data)
         m = data.mask.astype(K.dtype)
         m2 = m[:, None] * m[None, :]
         n = K.shape[0]
         eye = jnp.eye(n, dtype=K.dtype)
         # padded rows/cols → identity block: logdet/quadratic unaffected
-        Kt = m2 * (K + noise * eye) + eye * (1.0 - m)
+        Kt = m2 * (K + jnp.diag(noise)) + eye * (1.0 - m)
         r = (data.y - params.mean) * m[:, None]
         L, ok = safe_cholesky(Kt)
         alpha = chol_solve(L, r)
@@ -266,6 +283,8 @@ class GPCore:
             # keep the warp near identity unless the data insists
             lp = lp - 0.5 * jnp.sum((params.log_wa / 0.75) ** 2)
             lp = lp - 0.5 * jnp.sum((params.log_wb / 0.75) ** 2)
+        if self.heteroscedastic and params.noise_w is not None:
+            lp = lp - 0.5 * jnp.sum(params.noise_w**2)
         return lp
 
     def loss(self, params: GPParams, data: GPData) -> jnp.ndarray:
@@ -289,6 +308,10 @@ class GPCore:
             emb=emb,
             log_wa=jnp.zeros((self.d_num,), jnp.float32),
             log_wb=jnp.zeros((self.d_num,), jnp.float32),
+            noise_w=(
+                jnp.zeros((self.n_feat_dims + 1,), jnp.float32)
+                if self.heteroscedastic else None
+            ),
         )
         if self.n_feat_dims:
             f = self.features(p0, data.X, data)
@@ -391,12 +414,12 @@ class GPCore:
     # ------------------------------------------------------------ posterior
     def posterior_cache(self, params: GPParams, data: GPData) -> GPCache:
         K = self.gram_points(params, data.X, data.X, data)
-        noise = jnp.exp(params.log_noise) + self.noise_lb
+        noise = self.noise_diag(params, data.X, data)
         m = data.mask.astype(K.dtype)
         m2 = m[:, None] * m[None, :]
         n = K.shape[0]
         eye = jnp.eye(n, dtype=K.dtype)
-        Kt = m2 * (K + noise * eye) + eye * (1.0 - m)
+        Kt = m2 * (K + jnp.diag(noise)) + eye * (1.0 - m)
         r = (data.y - params.mean) * m[:, None]
         L, ok = safe_cholesky(Kt)
         alpha = chol_solve(L, r)
@@ -522,6 +545,7 @@ class GP(BaseModel):
             lr=conf.get("lr", 0.05),
             n_ensemble=conf.get("n_ensemble", 1),
             input_warp=conf.get("input_warp", False),
+            heteroscedastic=conf.get("heteroscedastic", False),
         )
         self.n_restarts = conf.get("n_restarts", 1)
         # posterior-over-hyperparameters mode: 'map' (Adam/pSGLD point or

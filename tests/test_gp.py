@@ -153,3 +153,23 @@ def test_multi_task_wrapper():
     mu, var = m.predict(X)
     assert mu.shape == (16, 2) and var.shape == (16, 2)
     assert np.all(np.isfinite(mu))
+
+
+def test_heteroscedastic_noise_learns_structure():
+    """Noise grows with |x0|: the het GP should learn larger predictive
+    noise in the noisy region than the quiet one."""
+    space = DesignSpace([{"name": "x0", "type": "num", "lb": -1, "ub": 1}])
+    rng = np.random.default_rng(0)
+    df = space.sample(96, seed=0)
+    X = space.transform(df)
+    noise_sd = 0.02 + 0.5 * (X[:, 0] > 0)
+    y = np.sin(2 * X[:, :1]) + (noise_sd * rng.standard_normal(96))[:, None]
+    gp = get_model("gp", space, num_epochs=120, heteroscedastic=True,
+                   optimizer="adam")
+    gp.fit(X, y)
+    core, data, p = gp.core, gp.data, gp.params
+    nv = np.asarray(core.noise_diag(p, data.X, data))[np.asarray(data.mask)]
+    Xv = np.asarray(data.X)[np.asarray(data.mask)]
+    noisy = nv[Xv[:, 0] > 0.5 * (Xv[:, 0].max())].mean()
+    quiet = nv[Xv[:, 0] < 0.5 * (Xv[:, 0].min())].mean()
+    assert noisy > 2.0 * quiet
