@@ -62,21 +62,54 @@ class MessagePassingOptimizer(AcqOptimizerBase):
 
     # ----------------------------------------------------------- dp solve
     def _solve(self, model, kappa, grids, base_point):
-        """One exact max-sum pass; returns (x*, value)."""
+        """One exact max-sum pass; returns (x*, value).
+
+        Cliques are handled by kind: pairwise edges sharing dims form the
+        spanning-tree DP (RDUCB message passing); all other cliques
+        (singletons, self-edges, learned size-k groups) must be DISJOINT —
+        each is maximized independently over its grid mesh, which is exact
+        because the additive objective factorizes over a partition."""
         space = self.space
-        cliques = model.cliques
+        cliques = [tuple(dict.fromkeys(c)) for c in model.cliques]
         D = space.num_cols
 
-        # tree structure: adjacency from clique edges
+        pair_edges = [(e, c) for e, c in enumerate(cliques) if len(c) == 2]
+        solo = [(e, c) for e, c in enumerate(cliques) if len(c) != 2]
+        pair_dims = {d for _, c in pair_edges for d in c}
+        seen = set(pair_dims)
+        for _, c in solo:
+            assert not (set(c) & seen), (
+                "exact maximization needs tree edges or a disjoint partition; "
+                "overlapping general cliques require a GA/interleaved optimizer"
+            )
+            seen.update(c)
+
+        x_star = base_point.copy()
+        total_val = 0.0
+
+        # independent exact max per disjoint clique (learned decompositions)
+        for e_idx, dims in solo:
+            meshes = np.meshgrid(*[grids[d] for d in dims], indexing="ij")
+            P = meshes[0].size
+            Xq = np.repeat(base_point[None, :], P, axis=0)
+            for k, d in enumerate(dims):
+                Xq[:, d] = meshes[k].ravel()
+            mu, var = model.predict_clique(Xq, e_idx)
+            lcb = mu[:, 0] - kappa * np.sqrt(var[:, 0])
+            b = int(np.argmin(lcb))
+            total_val += float(lcb[b])
+            for k, d in enumerate(dims):
+                x_star[d] = meshes[k].ravel()[b]
+
+        # tree structure: adjacency from pairwise clique edges
         adj = {d: [] for d in range(D)}
-        for e_idx, (i, j) in enumerate(cliques):
-            if i != j:
-                adj[i].append((j, e_idx))
-                adj[j].append((i, e_idx))
+        for e_idx, (i, j) in pair_edges:
+            adj[i].append((j, e_idx))
+            adj[j].append((i, e_idx))
 
         # per-edge tables a_ij[xi, xj] (LCB, negated → we MINIMIZE acq)
         tables = {}
-        for e_idx, (i, j) in enumerate(cliques):
+        for e_idx, (i, j) in pair_edges:
             gi, gj = grids[i], grids[j]
             P = len(gi) * len(gj)
             Xq = np.repeat(base_point[None, :], P, axis=0)
@@ -89,8 +122,6 @@ class MessagePassingOptimizer(AcqOptimizerBase):
 
         # handle forests/components: roots = first node of each component
         visited = set()
-        total_val = 0.0
-        x_star = base_point.copy()
         for root in range(D):
             if root in visited or not adj[root]:
                 continue
@@ -145,11 +176,9 @@ class MessagePassingOptimizer(AcqOptimizerBase):
         assert hasattr(model, "predict_clique"), (
             "MessagePassingOptimizer needs a decomposition model (gp_rd)"
         )
-        assert all(len(c) <= 2 for c in model.cliques), (
-            "exact message passing requires a pairwise (tree) decomposition; "
-            "use decomposition='tree', or a GA/interleaved acq optimizer for "
-            "overlap/nonoverlap clique covers"
-        )
+        # validity (tree edges and/or a disjoint partition) is checked in
+        # _solve; learned decompositions (decomposition="learn") and
+        # nonoverlap partitions are handled exactly via per-clique maxima.
         tr = self._tr(tr_manager)
         lb, ub = tr.numeric_bounds()
         kappa = float(acq_params.kappa)

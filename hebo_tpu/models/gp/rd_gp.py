@@ -185,12 +185,16 @@ class RDGP(GP):
 
     ``resample_decomposition()`` draws a fresh random tree (the RDUCB
     "no structure learning, fresh random tree each relearn" policy,
-    algorithms.py:398-431)."""
+    algorithms.py:398-431).  With ``decomposition="learn"`` it instead
+    marks the structure stale; the next ``fit`` runs the Gibbs structure
+    learner (models/gp/structure.py — RDUCB ``learnDependencyStructure``
+    parity, function_optimizer.py:630-712) on the training data."""
 
     def __init__(self, space, num_out: int = 1, **conf):
         super().__init__(space, num_out=num_out, **conf)
         self._conf = conf
         self._decomp_seed = conf.get("decomposition_seed", 0)
+        self._learn_pending = False
         self.resample_decomposition()
 
     def resample_decomposition(self):
@@ -199,8 +203,12 @@ class RDGP(GP):
         self._decomp_seed += 1
         D = space.num_cols
         strategy = self._conf.get("decomposition", "tree")
-        if strategy == "tree":
+        if strategy in ("tree", "learn"):
+            # "learn" starts from a random tree; the learner replaces it at
+            # the next fit (and at every resample_decomposition call after).
             self.cliques = random_tree(D, rng)
+            if strategy == "learn":
+                self._learn_pending = True
         elif strategy == "overlap":
             self.cliques = graph_overlap_cliques(
                 D, rng, clique_size=self._conf.get("clique_size", 3)
@@ -211,6 +219,10 @@ class RDGP(GP):
             )
         else:
             raise ValueError(f"unknown decomposition {strategy!r}")
+        self._rebuild_core()
+
+    def _rebuild_core(self):
+        space = self.space
         conf = self._conf
         num_cats = [int(space.num_categories[c]) for c in space.cat_dims]
         self.core = RDGPCore(
@@ -226,6 +238,45 @@ class RDGP(GP):
         self._fit_jit = {}
         self._pred_jit = {}
         self._clique_pred_jit = {}
+
+    # --------------------------------------- learned structure (device Gibbs)
+    def learn_decomposition(self, X: np.ndarray, y: np.ndarray):
+        """Run the Gibbs assignment learner on (opt-frame X, y) and adopt
+        the best-likelihood decomposition."""
+        from ...utils.dtypes import pad_bucket
+        from .gp import _make_data
+        from .structure import assignment_to_cliques, learn_assignment
+
+        n_pad = pad_bucket(max(len(X), 2))
+        data = _make_data(X, y, self.core.numeric_dims, n_pad)
+        D = self.space.num_cols
+        mgs = int(self._conf.get("max_group_size", 3))
+        # M must exceed ceil(D/max_group_size) or the partition saturates and
+        # no single-dim Gibbs move is feasible; default gives 4 slack groups.
+        M = int(self._conf.get("n_groups", min(D, -(-D // mgs) + 4)))
+        key = jax.random.PRNGKey(self._decomp_seed)
+        self._decomp_seed += 1
+        z, _mll = learn_assignment(
+            key,
+            data.X,
+            data.y,
+            data.mask,
+            data.x_lb,
+            data.x_span,
+            numeric_dims=tuple(self.core.numeric_dims),
+            cat_dims=tuple(self.core.cat_dims),
+            M=M,
+            max_group_size=int(self._conf.get("max_group_size", 3)),
+            n_sweeps=int(self._conf.get("n_structure_sweeps", 2)),
+        )
+        self.cliques = assignment_to_cliques(np.asarray(z), M)
+        self._rebuild_core()
+        self._learn_pending = False
+
+    def fit(self, X, y):
+        if self._learn_pending and len(X) >= 3:
+            self.learn_decomposition(np.asarray(X), np.asarray(y))
+        return super().fit(X, y)
 
     # ------------------------------------------- clique posterior (device)
     def predict_clique(self, Xs: np.ndarray, c: int):
