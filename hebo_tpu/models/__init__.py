@@ -12,3 +12,4 @@ from .gp.uncertain_gp import UncertainGP
 from .nn.ensembles_ext import ConditionalDeepEnsemble, GumbelDeepEnsemble, MCBNEnsemble
 from .gp.dkl import DKLGP
 from .nn.eac import EACEnsemble
+from .boosting import GBDT

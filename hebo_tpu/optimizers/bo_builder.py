@@ -78,6 +78,8 @@ MODEL_REGISTRY_MAP = {
     "deep_ensemble": ("deep_ensemble", {}),
     "rf": ("rf", {}),
     "svgp": ("svgp", {}),
+    "gbdt": ("gbdt", {}),
+    "catboost": ("catboost", {}),
 }
 
 

@@ -23,6 +23,7 @@ FAST_CONF = {
     "svgp": {"num_epochs": 30, "num_inducing": 8},
     "deep_ensemble": {"num_epochs": 30, "num_ensembles": 3, "num_hiddens": 16},
     "rf": {"n_estimators": 20},
+    "gbdt": {"num_epochs": 30, "depth": 3},
 }
 
 
