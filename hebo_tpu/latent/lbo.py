@@ -110,17 +110,28 @@ class LatentSpaceBO(AbstractOptimizer):
         return self.space.round_opt(self._denormalize(np.asarray(out)))
 
     def _retrain(self):
+        from ..utils.dtypes import pad_bucket
+
         X = self.space.transform(self.X)
         y = self.y[:, :1]
         ok = np.isfinite(y[:, 0])
         Xv, yv = X[ok], y[ok]
         w = rank_weights(yv[:, 0], self.rank_k)
+        # pad to bucket with zero-weight rows so the jitted train program
+        # compiles once per bucket, not once per observation count
+        n = len(Xv)
+        n_pad = pad_bucket(max(n, 2))
+        Xn = self._normalize(Xv)
+        Xp = np.zeros((n_pad, Xn.shape[1]), np.float32)
+        yp = np.zeros((n_pad, 1), np.float32)
+        wp = np.zeros((n_pad,), np.float32)
+        Xp[:n], yp[:n], wp[:n] = Xn, yv, w
         self._key, k = jax.random.split(self._key)
         self.vae_params, _ = train_vae(
             self.vae, self.vae_params, k,
-            jnp.asarray(self._normalize(Xv)),
-            jnp.asarray(yv, jnp.float32),
-            jnp.asarray(w, jnp.float32),
+            jnp.asarray(Xp),
+            jnp.asarray(yp),
+            jnp.asarray(wp),
             n_steps=self.vae_steps,
         )
         self._n_retrains += 1

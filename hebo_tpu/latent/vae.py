@@ -92,15 +92,24 @@ def rank_weights(y: np.ndarray, k: float = 1e-3) -> np.ndarray:
 
 
 def metric_loss(
-    z_mu: jnp.ndarray, y: jnp.ndarray, margin: float = 1.0, y_eps: float = 0.2
+    z_mu: jnp.ndarray,
+    y: jnp.ndarray,
+    margin: float = 1.0,
+    y_eps: float = 0.2,
+    mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Soft contrastive loss on latent means: pairs with |Δy| < y_eps are
-    positives (pulled), others negatives (pushed beyond margin)."""
+    positives (pulled), others negatives (pushed beyond margin).  ``mask``
+    (B,) excludes padded rows from all pairs."""
     d2 = jnp.sum((z_mu[:, None, :] - z_mu[None, :, :]) ** 2, axis=-1)
     d = jnp.sqrt(d2 + 1e-9)
     dy = jnp.abs(y[:, None, 0] - y[None, :, 0])
     pos = (dy < y_eps).astype(z_mu.dtype)
     neg = 1.0 - pos
+    if mask is not None:
+        pair = mask.astype(z_mu.dtype)[:, None] * mask.astype(z_mu.dtype)[None, :]
+        pos = pos * pair
+        neg = neg * pair
     eye = jnp.eye(len(y), dtype=z_mu.dtype)
     pos = pos * (1 - eye)
     loss_pos = pos * d2
@@ -141,7 +150,7 @@ def train_vae(
             jnp.exp(2 * log_sigma) + mu**2 - 1.0 - 2 * log_sigma, axis=-1
         )
         elbo_term = jnp.mean(weights * (rec + beta * kl))
-        m = metric_loss(mu, y)
+        m = metric_loss(mu, y, mask=weights > 0)
         return elbo_term + metric_weight * m
 
     def step(carry, _):

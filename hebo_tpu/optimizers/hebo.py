@@ -96,6 +96,10 @@ class HEBO(AbstractOptimizer):
         yr = self.y[:, 0].copy()
         valid = np.isfinite(yr) & np.all(np.isfinite(X), axis=1)
         Xv, yv = X[valid], yr[valid]
+        if len(Xv) < 2:
+            # every observation so far failed (non-finite y): nothing to
+            # model — keep exploring quasi-randomly instead of crashing
+            return self.quasi_sample(n_suggestions, fix_input)
 
         # power-transform y (box-cox/yeo-johnson, fallback raw — :127-147)
         pt = fit_power_transform(yv)
