@@ -94,6 +94,8 @@ class GPCore:
         n_ensemble: int = 1,
         input_warp: bool = False,
         heteroscedastic: bool = False,
+        use_pallas=None,
+        pallas_interpret: bool = False,
     ):
         self.numeric_dims = tuple(numeric_dims)
         self.cat_dims = tuple(cat_dims)
@@ -149,6 +151,21 @@ class GPCore:
         self.n_feat_dims = self.d_num + n_cat_feat
         self.n_cat_param = n_cat_param
         self.d_feat = self.n_feat_dims + n_cat_param
+        # Pallas kernels (ops/pallas_gram.py, ops/pallas_ssk.py).
+        # use_pallas=None (auto): the SSK DP kernel is ON for TPU backends
+        # (1.83x over the einsum form in the 50-step fit-loop A/B,
+        # experiments/bench_pallas.py) and OFF on CPU; the Matérn gram
+        # kernel stays opt-in (measured ~1.0x — XLA already fuses it).
+        # pallas_interpret runs the kernels under the interpreter (CPU tests).
+        self.use_pallas = use_pallas
+        self.pallas_interpret = pallas_interpret
+
+    def _pallas_ssk_on(self) -> bool:
+        if self.use_pallas is not None:
+            return bool(self.use_pallas)
+        import jax as _jax
+
+        return _jax.default_backend() != "cpu"
 
     # ------------------------------------------------------------- features
     def features(self, params: GPParams, X: jnp.ndarray, data: GPData) -> jnp.ndarray:
@@ -208,7 +225,14 @@ class GPCore:
         parts = []
         if self.n_feat_dims:
             ls = jnp.exp(params.log_ls[: self.n_feat_dims])
-            parts.append(self.kfn(f1, f2, ls))
+            if self.use_pallas and self.kernel_name == "matern32":
+                from ...ops.pallas_gram import matern32_gram
+
+                parts.append(
+                    matern32_gram(f1, f2, ls, interpret=self.pallas_interpret)
+                )
+            else:
+                parts.append(self.kfn(f1, f2, ls))
         if self.cat_dims and self.cat_kernel not in ("embedding", "hed"):
             c1 = X1[:, list(self.cat_dims)]
             c2 = X2[:, list(self.cat_dims)]
@@ -225,9 +249,20 @@ class GPCore:
             elif self.cat_kernel == "ssk":
                 md = jax.nn.sigmoid(cat_p[0])
                 gd = jax.nn.sigmoid(cat_p[1])
-                parts.append(
-                    ssk_kernel(c1, c2, md, gd, max_subseq=self.ssk_max_subseq)
-                )
+                if self._pallas_ssk_on():
+                    from ...ops.pallas_ssk import ssk_gram
+
+                    parts.append(
+                        ssk_gram(
+                            c1, c2, md, gd,
+                            max_subseq=self.ssk_max_subseq,
+                            interpret=self.pallas_interpret,
+                        )
+                    )
+                else:
+                    parts.append(
+                        ssk_kernel(c1, c2, md, gd, max_subseq=self.ssk_max_subseq)
+                    )
         K = parts[0]
         for p in parts[1:]:
             K = K * p
@@ -546,6 +581,8 @@ class GP(BaseModel):
             n_ensemble=conf.get("n_ensemble", 1),
             input_warp=conf.get("input_warp", False),
             heteroscedastic=conf.get("heteroscedastic", False),
+            use_pallas=conf.get("use_pallas"),
+            pallas_interpret=conf.get("pallas_interpret", False),
         )
         self.n_restarts = conf.get("n_restarts", 1)
         # posterior-over-hyperparameters mode: 'map' (Adam/pSGLD point or
@@ -732,4 +769,17 @@ class WarpedGP(GP):
     def __init__(self, space, num_out: int = 1, **conf):
         conf.setdefault("input_warp", True)
         conf.setdefault("n_restarts", 4)
+        super().__init__(space, num_out=num_out, **conf)
+
+
+@register_model("gpy_mlp")
+class MLPKernelGP(GP):
+    """GP with the MLP (arc-sine) kernel.
+
+    Parity: reference ``GPyMLPGP`` — GPy GP with the MLP arc-cosine-family
+    kernel (models/gp/gpy_mlp.py); here the asin form with ARD weight
+    variances (kernels.mlp) fit by the shared jitted pipeline."""
+
+    def __init__(self, space, num_out: int = 1, **conf):
+        conf.setdefault("kernel", "mlp")
         super().__init__(space, num_out=num_out, **conf)

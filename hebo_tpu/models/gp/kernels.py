@@ -78,7 +78,28 @@ def rbf(x1, x2, lengthscales):
     return jnp.exp(-0.5 * d2)
 
 
-MATERN_FNS = {"matern12": matern12, "matern32": matern32, "matern52": matern52, "rbf": rbf}
+def mlp(x1, x2, lengthscales):
+    """MLP (arc-sine) kernel — infinite-width one-hidden-layer network.
+
+    Parity: reference ``GPyMLPGP`` (HEBO/hebo/models/gp/gpy_mlp.py: GPy
+    ``MLP`` kernel):  k(x, y) = (2/π) asin( (w·xᵀy + b) /
+    sqrt((w·‖x‖²+b+1)(w·‖y‖²+b+1)) ), ARD weight variances w_d = 1/ℓ_d²
+    (reusing the GP's per-dim lengthscale parameters), bias variance 1.
+    """
+    z1 = _scaled(x1, lengthscales)
+    z2 = _scaled(x2, lengthscales)
+    b = 1.0
+    num = jnp.dot(z1, z2.T, preferred_element_type=z1.dtype) + b
+    d1 = jnp.sum(z1 * z1, axis=-1, keepdims=True) + b + 1.0  # (N, 1)
+    d2 = jnp.sum(z2 * z2, axis=-1, keepdims=True).T + b + 1.0  # (1, M)
+    r = jnp.clip(num / jnp.sqrt(d1 * d2), -1.0 + 1e-7, 1.0 - 1e-7)
+    return (2.0 / math.pi) * jnp.arcsin(r)
+
+
+MATERN_FNS = {
+    "matern12": matern12, "matern32": matern32, "matern52": matern52,
+    "rbf": rbf, "mlp": mlp,
+}
 
 
 def embed_categorical(

@@ -100,22 +100,53 @@ def _pallas_call(a, b, sc, jit):
     )(a, b, sc, jit)
 
 
-def matern32_gram(x1, x2, lengthscales, outputscale=1.0, jitter=0.0,
-                  interpret: bool = False):
-    """Fused Matérn-3/2 Gram via Pallas; pads to 128-multiples."""
+def _forward(x1, x2, lengthscales, interpret: bool):
     if interpret:
         # correctness path for non-TPU backends (tests)
-        return _interpret_call(x1, x2, lengthscales, outputscale, jitter)
+        return _interpret_call(x1, x2, lengthscales, 1.0, 0.0)
     N, D = x1.shape
     M = x2.shape[0]
     Np = -(-N // _TILE) * _TILE
     Mp = -(-M // _TILE) * _TILE
     a = jnp.zeros((Np, D), jnp.float32).at[:N].set(x1 / lengthscales)
     b = jnp.zeros((Mp, D), jnp.float32).at[:M].set(x2 / lengthscales)
-    sc = jnp.asarray([[outputscale]], jnp.float32)
-    jit = jnp.asarray([[jitter]], jnp.float32)
+    sc = jnp.asarray([[1.0]], jnp.float32)
+    jit = jnp.asarray([[0.0]], jnp.float32)
     K = _pallas_call(a, b, sc, jit)
     return K[:N, :M]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _matern32_op(x1, x2, lengthscales, interpret):
+    return _forward(x1, x2, lengthscales, interpret)
+
+
+def _matern32_fwd(x1, x2, lengthscales, interpret):
+    return _forward(x1, x2, lengthscales, interpret), (x1, x2, lengthscales)
+
+
+def _matern32_bwd(interpret, res, g):
+    # backward through the jnp expansion form — same math, XLA-fused; the
+    # Pallas kernel accelerates the (far more frequent) forward evaluations
+    x1, x2, ls = res
+    _, vjp = jax.vjp(lambda a, b, l: matern32_gram_reference(a, b, l), x1, x2, ls)
+    return vjp(g)
+
+
+_matern32_op.defvjp(_matern32_fwd, _matern32_bwd)
+
+
+def matern32_gram(x1, x2, lengthscales, outputscale=1.0, jitter=0.0,
+                  interpret: bool = False):
+    """Fused Matérn-3/2 Gram via Pallas; pads to 128-multiples.
+
+    Differentiable in (x1, x2, lengthscales) via custom VJP."""
+    K = _matern32_op(x1, x2, lengthscales, interpret)
+    if outputscale != 1.0:
+        K = outputscale * K
+    if jitter:
+        K = K + jitter * jnp.eye(x1.shape[0], x2.shape[0], dtype=K.dtype)
+    return K
 
 
 def _interpret_call(x1, x2, lengthscales, outputscale, jitter):

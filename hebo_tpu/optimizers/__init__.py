@@ -12,3 +12,4 @@ from .util import parse_space_from_bayesmark
 from .baselines import HillClimbing, LineBO, RandomSearch, SimulatedAnnealing
 from .bo_builder import BO_ALGOS, BoBuilder, MCBOptimizer
 from .antbo import AntBOOptimizer, CasmopolitanCat
+from .safeopt import SafeOpt

@@ -7,3 +7,5 @@ from .pest import PestControlTask
 from .rna import RNAInverseFoldTask, nussinov_fold
 from .boils import BoilsTask, SynthesisSession
 from .hpob import SyntheticHPOBTask, TabularBenchmark
+from .lasso import LassoBenchTask
+from .bayesmark import BayesmarkTask
