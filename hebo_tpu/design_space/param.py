@@ -480,6 +480,50 @@ class PermutationParam(Parameter):
         )
 
 
+class SigmoidParam(Parameter):
+    """Value in (0, 1) searched in logit space.
+
+    Parity: MCBO ``SigmoidPara`` (search_space/params/sigmoid_param.py:9-31) —
+    the optimizer sees ``logit(x)`` so probability-like parameters get a
+    symmetric, unbounded-feeling search axis; ``inverse_transform`` applies
+    the sigmoid and clips back into the user box.
+    """
+
+    param_type = "sigmoid"
+
+    def __init__(self, spec):
+        super().__init__(spec)
+        self.lb = float(spec.get("lb", 1e-4))
+        self.ub = float(spec.get("ub", 1.0 - 1e-4))
+        assert 0.0 < self.lb < self.ub < 1.0, (
+            f"{self.name}: sigmoid param needs 0 < lb < ub < 1"
+        )
+
+    @staticmethod
+    def _logit(x):
+        x = np.asarray(x, dtype=np.float64)
+        return np.log(x) - np.log1p(-x)
+
+    def transform(self, x):
+        return self._logit(np.clip(np.asarray(x, dtype=np.float64), self.lb, self.ub))
+
+    def inverse_transform(self, x):
+        v = 1.0 / (1.0 + np.exp(-np.asarray(x, dtype=np.float64)))
+        return np.clip(v, self.lb, self.ub)
+
+    @property
+    def opt_lb(self):
+        return float(self._logit(self.lb))
+
+    @property
+    def opt_ub(self):
+        return float(self._logit(self.ub))
+
+    @property
+    def is_numeric(self):
+        return True
+
+
 PARAM_REGISTRY: Dict[str, type] = {}
 
 
@@ -499,5 +543,6 @@ for _cls in (
     CategoricalParam,
     OrdinalParam,
     PermutationParam,
+    SigmoidParam,
 ):
     register_param(_cls)

@@ -411,6 +411,24 @@ class GPCore:
             samples = jax.tree.map(lambda t: jnp.broadcast_to(t, (S,) + t.shape), pf)
             return pf, self.loss(pf, data), samples
 
+        if self.optimizer == "slice":
+            # COMBO-style gradient-free hyperparameter posterior: univariate
+            # slice sampling over the (log-)hyperparameters, ensemble = the
+            # thinned samples (MCBO combo_gp.py:211-247 `sample_from_posterior`
+            # + ComboEnsembleGPModel's 10-sample ensemble).
+            from .inference import slice_sample
+
+            samples = slice_sample(
+                lambda p: -self.loss(p, data),
+                params0,
+                key,
+                n_samples=S,
+                n_burnin=20,
+                thinning=2,
+            )
+            pf = jax.tree.map(lambda t: t[-1], samples)
+            return pf, self.loss(pf, data), samples
+
         # pSGLD (reference models/nn/sgld.py:55-114): RMSProp-preconditioned
         # Langevin — V ← αV + (1-α)g²; G = 1/(λ+√V);
         # Δ = -lr/2·G·g + N(0, lr·G)

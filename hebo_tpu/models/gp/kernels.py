@@ -37,6 +37,9 @@ __all__ = [
     "ordinal_kernel",
     "diffusion_kernel",
     "hed_embed",
+    "ssk_kernel",
+    "feature_warp_rbf",
+    "feature_warp_cosine",
 ]
 
 
@@ -243,3 +246,41 @@ def hed_embed(
     """
     agree = (codes[:, None, :] == dictionary[None, :, :]).astype(jnp.float32)
     return jnp.mean(agree, axis=-1)
+
+
+def feature_warp_rbf(
+    idx1: jnp.ndarray,
+    idx2: jnp.ndarray,
+    feature_table: jnp.ndarray,
+    lengthscales: jnp.ndarray,
+) -> jnp.ndarray:
+    """RBF over precomputed per-candidate feature embeddings.
+
+    Parity: AntBO ``BERTWarpRBF`` (bo/kernels.py:297-307) — sequences are
+    warped through frozen language-model features before a standard RBF.
+    TPU-native form: the warp is a gather from a precomputed ``(table_size,
+    feat_dim)`` feature table (AntBO's ``table_of_candidates`` embeddings,
+    bo/optimizer.py:36-120), so the kernel is one gather + one MXU matmul.
+
+    idx1: (N,) int candidate indices; idx2: (M,); → (N, M).
+    """
+    f1 = feature_table[idx1.astype(jnp.int32)]
+    f2 = feature_table[idx2.astype(jnp.int32)]
+    return rbf(f1, f2, lengthscales)
+
+
+def feature_warp_cosine(
+    idx1: jnp.ndarray,
+    idx2: jnp.ndarray,
+    feature_table: jnp.ndarray,
+) -> jnp.ndarray:
+    """Cosine-similarity kernel over precomputed feature embeddings.
+
+    Parity: AntBO ``BERTWarpCosine`` (bo/kernels.py:297-307).  Normalized
+    dot product in feature space; one gather + one matmul on the MXU.
+    """
+    f1 = feature_table[idx1.astype(jnp.int32)]
+    f2 = feature_table[idx2.astype(jnp.int32)]
+    n1 = jnp.sqrt(jnp.maximum(jnp.sum(f1 * f1, axis=-1, keepdims=True), 1e-12))
+    n2 = jnp.sqrt(jnp.maximum(jnp.sum(f2 * f2, axis=-1, keepdims=True), 1e-12))
+    return (f1 / n1) @ (f2 / n2).T

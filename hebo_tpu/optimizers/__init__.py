@@ -9,7 +9,8 @@ from .hebo_embedding import HEBO_Embedding, gen_emb_space, gen_proj_matrix
 from .noisy_opt import NoisyAcq, NoisyOpt
 from .nomr import AbsEtaDifference, NoMR_BO
 from .util import parse_space_from_bayesmark
-from .baselines import HillClimbing, LineBO, RandomSearch, SimulatedAnnealing
+from .baselines import HillClimbing, LineBO, MultiArmedBandit, RandomSearch, SimulatedAnnealing
 from .bo_builder import BO_ALGOS, BoBuilder, MCBOptimizer
 from .antbo import AntBOOptimizer, CasmopolitanCat
 from .safeopt import SafeOpt
+from .macebo import MACEBO

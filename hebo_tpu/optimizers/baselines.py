@@ -17,7 +17,7 @@ from ..design_space import DesignSpace
 from .base import AbstractOptimizer
 from .bo import BO
 
-__all__ = ["RandomSearch", "HillClimbing", "SimulatedAnnealing", "LineBO"]
+__all__ = ["RandomSearch", "HillClimbing", "SimulatedAnnealing", "LineBO", "MultiArmedBandit"]
 
 
 class RandomSearch(AbstractOptimizer):
@@ -180,3 +180,75 @@ class LineBO(AbstractOptimizer):
             )[:, 0]
             recs.append(cand[int(np.argmin(scores))])
         return self.space.inverse_transform(np.stack(recs))
+
+
+class MultiArmedBandit(AbstractOptimizer):
+    """EXP3 bandit optimizer over categorical/discrete spaces.
+
+    Parity: MCBO non-BO ``multi_armed_bandit`` (optimizers/non_bo/): one
+    EXP3 learner per categorical dimension (independent-arms
+    factorization, the CoCaBO building block — see
+    acq_optimizers/mcbo_opts.py for the inner-loop variant); numeric dims,
+    if any, are sampled uniformly.  Rewards are importance-weighted
+    improvements normalized by a running y-range.
+    """
+
+    def __init__(self, space, gamma: float = 0.1, csv_save_path=None):
+        super().__init__(space, csv_save_path)
+        self.gamma = float(gamma)
+        self._rng = np.random.default_rng(0)
+        self._w = [
+            np.ones(int(space.num_categories[c])) for c in space.cat_dims
+        ]
+        self._pending: Optional[np.ndarray] = None
+        self._probs: Optional[list] = None
+        self._y_lo = np.inf
+        self._y_hi = -np.inf
+
+    def _arm_probs(self, w: np.ndarray) -> np.ndarray:
+        p = w / w.sum()
+        return (1.0 - self.gamma) * p + self.gamma / len(w)
+
+    def method_suggest(self, n_suggestions=1, fix_input=None):
+        lb, ub = self.space.opt_lb, self.space.opt_ub
+        X = self._rng.uniform(lb, ub, size=(n_suggestions, len(lb)))
+        self._probs = [self._arm_probs(w) for w in self._w]
+        for k, c in enumerate(self.space.cat_dims):
+            X[:, c] = self._rng.choice(
+                len(self._probs[k]), size=n_suggestions, p=self._probs[k]
+            )
+        X = self.space.round_opt(np.clip(X, lb, ub))
+        self._pending = X
+        df = self.space.inverse_transform(X)
+        if fix_input:
+            for k, v in fix_input.items():
+                df[k] = v
+        return df
+
+    def observe_new_data(self, Xdf, y):
+        if self._pending is None or self._probs is None:
+            return
+        y0 = np.asarray(y[:, 0], float)
+        fin = np.isfinite(y0)
+        if fin.any():
+            self._y_lo = min(self._y_lo, float(y0[fin].min()))
+            self._y_hi = max(self._y_hi, float(y0[fin].max()))
+        span = max(self._y_hi - self._y_lo, 1e-9)
+        n = min(len(y0), len(self._pending))
+        for i in range(n):
+            if not fin[i]:
+                continue
+            reward = (self._y_hi - y0[i]) / span  # minimization → high reward
+            for k, c in enumerate(self.space.cat_dims):
+                a = int(self._pending[i, c])
+                xhat = reward / max(self._probs[k][a], 1e-9)
+                self._w[k][a] *= np.exp(
+                    np.clip(self.gamma * xhat / len(self._w[k]), 0.0, 50.0)
+                )
+            # renormalize to dodge overflow on long runs
+        for k in range(len(self._w)):
+            m = self._w[k].max()
+            if m > 1e6:
+                self._w[k] /= m
+        self._pending = None
+        self._probs = None

@@ -9,3 +9,6 @@ from .boils import BoilsTask, SynthesisSession
 from .hpob import SyntheticHPOBTask, TabularBenchmark
 from .lasso import LassoBenchTask
 from .bayesmark import BayesmarkTask
+from .ml_tuning import SVMTuningTask, XGBTuningTask
+from .highdim import NASBenchTask, LPSolveTask, parse_mps
+from .antbo_tools import AbsolutTool, TableFillingTool, ManualTool, AA_ALPHABET

@@ -44,6 +44,7 @@ class SyntheticTask:
         noise_std: float = 0.0,
         num_dummy: int = 0,
         offset: float = 0.0,
+        rotate: bool = False,
         seed: int = 0,
     ):
         if dim is not None:
@@ -52,6 +53,13 @@ class SyntheticTask:
         self.num_dummy = num_dummy
         self.offset = offset
         self._rng = np.random.default_rng(seed)
+        # offset-rotation variant (reference synthetic_benchmarks.py:22-186):
+        # evaluate f(R·(x - offset)) for a fixed random rotation R
+        self._rot = None
+        if rotate:
+            a = np.random.default_rng(seed + 1).standard_normal((self.dim, self.dim))
+            q, _ = np.linalg.qr(a)
+            self._rot = q
 
     @property
     def space(self) -> DesignSpace:
@@ -68,7 +76,13 @@ class SyntheticTask:
 
     def __call__(self, df: pd.DataFrame) -> np.ndarray:
         X = df[[f"x{i}" for i in range(self.dim)]].values.astype(float)
-        y = self._f(X - self.offset).reshape(-1, 1)
+        X = X - self.offset
+        if self._rot is not None:
+            # rotate about the box center, then clip back into the domain so
+            # rotated evaluations stay within the function's defined region
+            c = 0.5 * (self.lb + self.ub)
+            X = np.clip((X - c) @ self._rot.T + c, self.lb, self.ub)
+        y = self._f(X).reshape(-1, 1)
         if self.noise_std > 0:
             y = y + self.noise_std * self._rng.standard_normal(y.shape)
         return y
