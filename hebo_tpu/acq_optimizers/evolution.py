@@ -242,14 +242,19 @@ class EvolutionOpt:
         state = model.state if model is not None else None
 
         ck = (id(acq), id(model))
-        if ck not in self._eval_fn_cache:
+        # the cache value pins strong refs to (acq, model) so their ids
+        # cannot be recycled by the GC while the cached closure is alive
+        # (id-keyed caches alias after collection otherwise)
+        hit = self._eval_fn_cache.get(ck)
+        if hit is not None and (hit[1] is acq) and (hit[2] is model):
+            eval_fn = hit[0]
+        else:
 
             def eval_fn(args, X):
                 st, pr = args
                 return acq.eval_pure(model, st, pr, X)
 
-            self._eval_fn_cache[ck] = eval_fn
-        eval_fn = self._eval_fn_cache[ck]
+            self._eval_fn_cache[ck] = (eval_fn, acq, model)
 
         from ..acquisitions.acq import AcqParams
 

@@ -1,5 +1,4 @@
 from .acq import (
-    EI, LCB, MACE, PI, UCB, AcqParams, Acquisition, GeneralAcq, Mean,
-    MOMeanSigmaLCB, Sigma, log_ei, log_pi,
+    CEI, EI, LCB, MACE, PI, UCB, AcqParams, Acquisition, AddLCB, GeneralAcq,
+    Mean, MOMeanSigmaLCB, Sigma, ThompsonSampling, log_ei, log_pi,
 )
-from .acq import ThompsonSampling

@@ -35,6 +35,9 @@ __all__ = [
     "PI",
     "UCB",
     "MACE",
+    "ThompsonSampling",
+    "CEI",
+    "AddLCB",
     "MOMeanSigmaLCB",
     "GeneralAcq",
     "log_ei",
@@ -177,18 +180,95 @@ class MACE(Acquisition):
 
 
 class ThompsonSampling(Acquisition):
-    """Approximate Thompson draw: μ + ε·σ with one shared ε ~ N(0,1) per
-    call (a coherent random confidence bound).  Exact joint-posterior TS is
-    available via ``model.sample_f``; this form keeps the whole
-    acquisition-optimization loop a single jitted program (MCBO
-    thompson_sampling.py:5-16 instead samples the model once per batch —
-    same spirit, device-friendly shape)."""
+    """Faithful Thompson sampling: one coherent joint-posterior function
+    draw per call (MCBO thompson_sampling.py:5-16 evaluates
+    ``model.sample_y(x, n_samples=1)`` — a joint MVN draw over the
+    candidate batch; BOCS draws a coefficient vector).
+
+    Models exposing ``joint_sample_pure(state, key, X)`` (GP: MVN draw
+    from the cached posterior; LinReg: coefficient draw) get the exact
+    semantics inside the jitted acquisition loop; models without it fall
+    back to the randomized confidence bound μ + ε·σ with one shared ε."""
 
     def eval_pure(self, model, state, params, X):
-        mu, sigma = _predict(model, state, X)
         key = params.key if params.key is not None else jax.random.PRNGKey(0)
+        if hasattr(model, "joint_sample_pure"):
+            return model.joint_sample_pure(state, key, X)
+        mu, sigma = _predict(model, state, X)
         eps = jax.random.normal(key, (1, 1), mu.dtype)
         return mu + eps * sigma
+
+
+class CEI(Acquisition):
+    """Constrained EI: maximize  Pr(c_i(x) ≤ λ_i) · EI(x)  (Gardner et al.).
+
+    Parity: MCBO ``CEI`` (mcbo/acq_funcs/cei.py) — there the objective and
+    each constraint are separate models; here the model is multi-output
+    (``MultiTaskModel`` or any ``num_out = 1 + num_constr`` surrogate):
+    output 0 is the objective, outputs 1..k the constraints.  ``lambdas``
+    are thresholds in the raw output space.  Evaluated in log space
+    (−logEI − Σ logΦ((λ_i − μ_i)/σ_i)) so it composes with the NSGA-II /
+    local-search loops without underflow; a non-finite ``params.tau``
+    switches to pure feasibility maximization (the reference's
+    ``best_y=None`` branch).
+    """
+
+    def __init__(self, num_constr: int = 0, lambdas=None, augmented_ei: bool = False):
+        self.num_constr = 0  # exposed as a single minimization column
+        self._n_constr = int(num_constr)
+        lam = [0.0] * self._n_constr if lambdas is None else list(lambdas)
+        self.lambdas = jnp.asarray(lam, jnp.float32)
+        self.augmented_ei = augmented_ei
+
+    def eval_pure(self, model, state, params, X):
+        mu, sigma = _predict(model, state, X)  # (P, 1 + n_constr)
+        mu0, s0 = mu[:, :1], sigma[:, :1]
+        normed = (params.tau - params.eps - mu0) / s0
+        lei = log_ei(normed, jnp.log(s0))
+        if self.augmented_ei:
+            # EI · (1 − σ_n / sqrt(σ² + σ_n²))  (MCBO ei.py:6-40)
+            sn = params.noise
+            lei = lei + jnp.log(
+                jnp.maximum(1.0 - sn / jnp.sqrt(s0**2 + sn**2 + 1e-12), 1e-12)
+            )
+        if self._n_constr:
+            mc = mu[:, 1 : 1 + self._n_constr]
+            sc = sigma[:, 1 : 1 + self._n_constr]
+            lfeas = jnp.sum(
+                norm.logcdf((self.lambdas[None, :] - mc) / sc),
+                axis=-1, keepdims=True,
+            )
+        else:
+            lfeas = jnp.zeros_like(lei)
+        # best_y=None analogue: non-finite tau → optimize feasibility only
+        score = jnp.where(jnp.isfinite(params.tau), -(lei + lfeas), -lfeas)
+        return score
+
+
+class AddLCB(Acquisition):
+    """Additive LCB over a random decomposition: Σ_c (μ_c − β σ_c).
+
+    Parity: MCBO ``AddLCB`` (mcbo/acq_funcs/additive_lcb.py:17) — the
+    standalone acq_func_id form, summing per-clique posterior LCBs of a
+    ``RandDecompositionGP``.  Requires a model exposing the clique
+    interface (``core.cliques`` + ``core.predict_clique``); kappa comes
+    from ``params.kappa`` (reference default β = 1.96)."""
+
+    def eval_pure(self, model, state, params, X):
+        samples, caches, data = state
+        core = model.core
+        total = jnp.zeros((X.shape[0], 1), jnp.float32)
+        for c in range(len(core.cliques)):
+            def one(p, ca, c=c):
+                return core.predict_clique(p, ca, data, X, c)
+
+            mus, vars_ = jax.vmap(one)(samples, caches)
+            mu = jnp.mean(mus, axis=0)
+            var = jnp.maximum(jnp.mean(vars_ + mus**2, axis=0) - mu**2, 1e-10)
+            mu = mu * data.y_std  # component frame → raw scale (no mean shift)
+            sd = jnp.sqrt(var) * data.y_std
+            total = total + mu - params.kappa * sd
+        return total
 
 
 class MOMeanSigmaLCB(Acquisition):

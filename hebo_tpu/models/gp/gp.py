@@ -765,6 +765,24 @@ class GP(BaseModel):
         mu, var = self.core.predict_ensemble(samples, caches, data, Xs)
         return mu * data.y_std + data.y_mean, var * data.y_std**2
 
+    def joint_sample_pure(self, state, key, Xs: jnp.ndarray):
+        """One coherent joint-posterior draw f(Xs) → (P, 1), raw-y frame.
+
+        Faithful Thompson sampling (MCBO thompson_sampling.py:5-16 draws
+        ``model.sample_y(x, n_samples=1)`` — a joint MVN draw over the
+        candidate batch): pick a hyperparameter posterior sample uniformly,
+        then draw from that GP's joint posterior at Xs.  Pure in (state,
+        key), so the whole acquisition-optimization loop stays one jitted
+        program."""
+        samples, caches, data = state
+        k_idx, k_draw = jax.random.split(key)
+        S = jax.tree.leaves(samples)[0].shape[0]
+        i = jax.random.randint(k_idx, (), 0, S)
+        p = jax.tree.map(lambda t: t[i], samples)
+        c = jax.tree.map(lambda t: t[i], caches)
+        draw = self.core.joint_sample_scaled(k_draw, p, c, data, Xs, 1)
+        return draw[0][:, None] * data.y_std + data.y_mean
+
     @property
     def noise(self):
         if self.params is None:

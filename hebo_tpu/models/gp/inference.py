@@ -20,7 +20,15 @@ samplers whose *chains/particles are a batch axis*:
 
 All functions operate on a generic pytree ``params`` and a closure
 ``logp(params) -> scalar`` so they serve every surrogate, not just the GP.
-Cross-device chain/particle sharding lives in hebo_tpu.parallel.
+
+Cross-device scaling (the BASELINE.json north star): ``hmc_sample_sharded``
+shards chains and ``smc_sample_sharded`` shards particles over a
+``jax.sharding.Mesh`` with ``shard_map`` — SMC weight normalization and
+ESS are global ``psum`` reductions, resampling is *global* systematic
+resampling over an ``all_gather`` of the (small) particle pytrees, and
+HMC reports a cross-chain split-R̂ computed with ``psum`` moments.  Both
+run identically on a real TPU slice (ICI collectives) and the CPU test
+backend with ``--xla_force_host_platform_device_count``.
 """
 
 from __future__ import annotations
@@ -32,7 +40,14 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["hmc_sample", "svi_fit", "smc_sample", "slice_sample"]
+__all__ = [
+    "hmc_sample",
+    "hmc_sample_sharded",
+    "svi_fit",
+    "smc_sample",
+    "smc_sample_sharded",
+    "slice_sample",
+]
 
 
 # ---------------------------------------------------------------- tree utils

@@ -191,6 +191,16 @@ class LinRegModel(BaseModel):
         var = jnp.var(preds, axis=1, keepdims=True) + resid_var
         return mu * sd_y + mu_y, var * sd_y**2
 
+    def joint_sample_pure(self, state, key, Xs):
+        """Coefficient-draw Thompson sample (the BOCS acquisition): pick one
+        posterior coefficient vector uniformly and evaluate Φ(Xs)·w — a
+        coherent function draw, pure in (state, key)."""
+        w_draws, resid_var, mu_y, sd_y = state
+        i = jax.random.randint(key, (), 0, w_draws.shape[0])
+        Phi = self._featurize_jnp(Xs)
+        f = Phi @ w_draws[i]
+        return f[:, None] * sd_y + mu_y
+
     def sample_f(self, n_samples: int = 1, seed: int = 0):
         """Thompson sampling: one coefficient draw per sample (BOCS)."""
         idx = [(seed + i) % len(self.w_draws) for i in range(n_samples)]

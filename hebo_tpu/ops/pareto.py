@@ -81,14 +81,32 @@ def nondominated_rank(F: jnp.ndarray, valid: jnp.ndarray | None = None) -> jnp.n
 def crowding_distance(F: jnp.ndarray, rank: jnp.ndarray) -> jnp.ndarray:
     """NSGA-II crowding distance computed *within* each front.
 
-    Sort by (rank, objective) per objective; neighbors in the sorted order
-    that share a rank contribute distance; front boundary points get +inf.
+    pymoo-fidelity semantics (reference delegates to pymoo's
+    ``calc_crowding_distance``, used by
+    HEBO/hebo/acq_optimizers/evolution_optimizer.py:133-139): per objective,
+    sort each front, give the front's boundary points +inf, and normalize
+    interior gaps by the *front's own* objective span.  Fronts are
+    contiguous segments after a (rank, f) lexsort, so the per-front
+    min/max come from ``segment_min``/``segment_max`` keyed on the rank —
+    fixed shapes, no data-dependent control flow.
     """
     P, M = F.shape
     big = jnp.asarray(1e30, F.dtype)
+    n_seg = P + 1  # nondominated_rank assigns ranks in [0, P]
 
-    def one_obj(f):
-        # stable sort by (rank, f): rank-major composite key
+    # per-front, per-objective span (the pymoo normalization constant)
+    f_max = jax.vmap(
+        lambda f: jax.ops.segment_max(f, rank, num_segments=n_seg),
+        in_axes=1, out_axes=1,
+    )(F)  # (n_seg, M)
+    f_min = jax.vmap(
+        lambda f: jax.ops.segment_min(f, rank, num_segments=n_seg),
+        in_axes=1, out_axes=1,
+    )(F)
+    span_front = jnp.maximum(f_max - f_min, 1e-12)  # (n_seg, M)
+
+    def one_obj(f, span_f):
+        # stable sort by (rank, f): fronts become contiguous runs
         order = jnp.lexsort((f, rank))
         f_s = f[order]
         r_s = rank[order]
@@ -96,29 +114,31 @@ def crowding_distance(F: jnp.ndarray, rank: jnp.ndarray) -> jnp.ndarray:
         next_same = jnp.concatenate([r_s[:-1] == r_s[1:], jnp.array([False])])
         f_prev = jnp.concatenate([f_s[:1], f_s[:-1]])
         f_next = jnp.concatenate([f_s[1:], f_s[-1:]])
-        # span per front: masked min/max via segment ops replaced by scan-free
-        # approach — normalize by global span (pymoo normalizes per front;
-        # boundary=inf dominates selection so the normalization constant only
-        # reorders interior ties)
-        span = jnp.maximum(jnp.max(f) - jnp.min(f), 1e-12)
         d = jnp.where(
             prev_same & next_same,
-            (f_next - f_prev) / span,
-            big,
+            (f_next - f_prev) / span_f[r_s],
+            big,  # front boundary → +inf (applied after the sum below)
         )
         out = jnp.zeros_like(d).at[order].set(d)
         return out
 
-    dists = jax.vmap(one_obj, in_axes=1, out_axes=1)(F)
-    d = jnp.sum(jnp.minimum(dists, big), axis=1)
+    dists = jax.vmap(one_obj, in_axes=(1, 1), out_axes=1)(F, span_front)
+    d = jnp.sum(jnp.minimum(dists, big), axis=1) / M  # pymoo divides by n_obj
     return jnp.where(jnp.any(dists >= big, axis=1), _INF, d)
 
 
 def nsga2_key(rank: jnp.ndarray, crowd: jnp.ndarray) -> jnp.ndarray:
-    """Composite scalar sort key: ascending rank, descending crowding."""
-    c = jnp.where(jnp.isinf(crowd), 1e30, crowd)
-    c = jnp.clip(c, 0.0, 1e30)
-    return rank.astype(jnp.float32) * 1e3 - jnp.tanh(c / 10.0) * 0.999
+    """Composite scalar sort key: ascending rank, descending crowding.
+
+    Exact (no saturation): the crowding value is replaced by its ordinal
+    position in a descending sort of the whole population, so argsorting
+    the key reproduces lexsort((−crowd, rank)) — distinct crowding values
+    never tie, matching pymoo's rank-then-crowding survival exactly.
+    """
+    P = rank.shape[0]
+    c = jnp.where(jnp.isnan(crowd), -jnp.inf, crowd)
+    crowd_ord = jnp.argsort(jnp.argsort(-c))  # 0 = most crowded-distance
+    return (rank.astype(jnp.float32) * P + crowd_ord.astype(jnp.float32))
 
 
 def pareto_mask(F: jnp.ndarray, valid: jnp.ndarray | None = None) -> jnp.ndarray:

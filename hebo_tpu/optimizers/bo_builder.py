@@ -24,7 +24,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..acquisitions.acq import EI, LCB, MACE, PI, AcqParams, ThompsonSampling
+from ..acquisitions.acq import (
+    CEI,
+    EI,
+    LCB,
+    MACE,
+    PI,
+    AcqParams,
+    AddLCB,
+    ThompsonSampling,
+)
 from ..acq_optimizers.mcbo_opts import (
     GeneticAlgoAcqOptimizer,
     InterleavedSearchAcqOptimizer,
@@ -47,6 +56,8 @@ ACQ_FUNC_REGISTRY = {
     "ucb": LCB,
     "ts": ThompsonSampling,
     "mace": MACE,
+    "cei": CEI,
+    "addlcb": AddLCB,
 }
 
 def _mp_factory(space, **kw):

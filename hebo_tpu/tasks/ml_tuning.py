@@ -36,7 +36,17 @@ def _toy_regression(n: int = 256, d: int = 8, seed: int = 0):
 
 
 class _CVTask:
-    """Shared k-fold CV harness; subclasses provide space + estimator."""
+    """Shared k-fold CV harness; subclasses provide space + estimator.
+
+    Every fold fit is bounded: estimators must be constructed with finite
+    iteration caps (see ``SVMTuningTask._make_estimator`` — libsvm's default
+    ``max_iter=-1`` can spin unboundedly on ill-conditioned configs), and a
+    wall-clock guard maps any evaluation exceeding ``eval_timeout_s`` to inf
+    so the BO loop observes a failure instead of hanging.
+    """
+
+    #: per-configuration wall-clock budget (whole CV, all folds)
+    eval_timeout_s: float = 60.0
 
     def __init__(self, X=None, y=None, n_folds: int = 3, seed: int = 0):
         if X is None:
@@ -50,15 +60,29 @@ class _CVTask:
         raise NotImplementedError
 
     def _cv_rmse(self, params: dict) -> float:
+        import time
+
         from sklearn.model_selection import KFold
 
         kf = KFold(n_splits=self.n_folds, shuffle=True, random_state=self.seed)
+        t0 = time.monotonic()
         errs = []
         for tr, te in kf.split(self.X):
             est = self._make_estimator(params)
-            est.fit(self.X[tr], self.y[tr])
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")  # ConvergenceWarning from capped iters
+                est.fit(self.X[tr], self.y[tr])
             pred = est.predict(self.X[te])
-            errs.append(float(np.sqrt(np.mean((pred - self.y[te]) ** 2))))
+            err = float(np.sqrt(np.mean((pred - self.y[te]) ** 2)))
+            if not np.isfinite(err):
+                return float("inf")
+            errs.append(err)
+            if time.monotonic() - t0 > self.eval_timeout_s:
+                # Over budget: charge the config as a failure rather than
+                # letting one pathological fold stall the whole suite.
+                return float("inf")
         return float(np.mean(errs))
 
     def __call__(self, df: pd.DataFrame) -> np.ndarray:
@@ -90,11 +114,17 @@ class SVMTuningTask(_CVTask):
     def _make_estimator(self, params):
         from sklearn.svm import SVR
 
+        # libsvm's default max_iter=-1 never terminates on some (C, gamma,
+        # kernel=poly) corners (e.g. C≈179, gamma≈4.5 spins >60 s/fold on 171
+        # points).  Cap iterations and let _cv_rmse map the resulting poor /
+        # non-finite fit to a high RMSE — the BO loop treats it as a bad
+        # config, mirroring the reference's observed-as-inf convention.
         return SVR(
             C=float(params["C"]),
             gamma=float(params["gamma"]),
             epsilon=float(params["epsilon"]),
             kernel=str(params["kernel"]),
+            max_iter=20_000,
         )
 
 

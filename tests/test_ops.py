@@ -130,3 +130,61 @@ def test_power_transform_filters_nonfinite():
     y = np.array([1.0, 2.0, np.inf, 3.0, np.nan])
     pt = fit_power_transform(y)
     assert np.isfinite(pt.mean) and np.isfinite(pt.std)
+
+
+# ------------------------------------------------ pymoo-fidelity survival
+def _pymoo_crowding(F, rank):
+    """Host-side exact pymoo calc_crowding_distance semantics, per front."""
+    P, M = F.shape
+    crowd = np.zeros(P)
+    for r in np.unique(rank):
+        idx = np.where(rank == r)[0]
+        d = np.zeros(len(idx))
+        for m in range(M):
+            order = np.argsort(F[idx, m], kind="stable")
+            f = F[idx][order, m]
+            span = max(f[-1] - f[0], 1e-12)
+            dm = np.zeros(len(idx))
+            dm[order[0]] = np.inf
+            dm[order[-1]] = np.inf
+            for j in range(1, len(idx) - 1):
+                dm[order[j]] = (f[j + 1] - f[j - 1]) / span
+            d = d + dm
+        crowd[idx] = d / M
+    return crowd
+
+
+def test_crowding_matches_pymoo_semantics():
+    from hebo_tpu.ops.pareto import crowding_distance, nondominated_rank
+
+    rng = np.random.default_rng(7)
+    F = rng.standard_normal((48, 2)).astype(np.float32)
+    rank = np.asarray(nondominated_rank(jnp.asarray(F)))
+    got = np.asarray(crowding_distance(jnp.asarray(F), jnp.asarray(rank)))
+    want = _pymoo_crowding(F.astype(np.float64), rank)
+    inf_g, inf_w = np.isinf(got), np.isinf(want)
+    np.testing.assert_array_equal(inf_g, inf_w)
+    np.testing.assert_allclose(got[~inf_g], want[~inf_w], rtol=1e-4, atol=1e-5)
+
+
+def test_nsga2_key_is_exact_lexsort():
+    from hebo_tpu.ops.pareto import crowding_distance, nondominated_rank, nsga2_key
+
+    rng = np.random.default_rng(11)
+    F = rng.standard_normal((64, 3)).astype(np.float32)
+    rank = nondominated_rank(jnp.asarray(F))
+    crowd = crowding_distance(jnp.asarray(F), rank)
+    key = np.asarray(nsga2_key(rank, crowd))
+    got = np.argsort(key, kind="stable")
+    # reference ordering: ascending rank, then descending crowding;
+    # crowding ties broken by index (matching the ordinal construction)
+    c = np.asarray(crowd)
+    r = np.asarray(rank)
+    crowd_ord = np.argsort(np.argsort(-c, kind="stable"), kind="stable")
+    want = np.lexsort((crowd_ord, r))
+    np.testing.assert_array_equal(got, want)
+    # large distinct crowding values must NOT tie (the old tanh squash did)
+    c2 = jnp.asarray([40.0, 80.0, 120.0, np.inf], jnp.float32)
+    r2 = jnp.zeros(4, jnp.int32)
+    k2 = np.asarray(nsga2_key(r2, c2))
+    assert len(np.unique(k2)) == 4 and np.argmin(k2) == 3
