@@ -1,0 +1,147 @@
+"""Scaling table: sharded-inference samples/s + fused-suggest latency at
+1/2/4/8 devices (VERDICT r1 next-#2/#3; BASELINE.md "samples/s scaling
+efficiency at 1 chip / 1 host / N hosts").
+
+Run with N virtual CPU devices for functional scaling shape:
+
+    env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+        XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python experiments/scaling_bench.py
+
+On a real slice the same script measures true ICI scaling (drop the env
+overrides).  Writes experiments/scaling_results.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from hebo_tpu import HEBO, DesignSpace
+from hebo_tpu.models.gp.inference import smc_sample_sharded, hmc_sample_sharded
+
+
+def _gp_problem(n=64, d=6, seed=0):
+    space = DesignSpace().parse(
+        [{"name": f"x{i}", "type": "num", "lb": -5.0, "ub": 5.0} for i in range(d)]
+    )
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(-5, 5, (n, d)).astype(np.float32)
+    y = (np.sum(X**2, axis=1, keepdims=True) / 10.0).astype(np.float32)
+    return space, X, y
+
+
+def bench_smc(mesh, core, data, n_particles=128, n_stages=12, reps=3):
+    pkeys = jax.random.split(jax.random.PRNGKey(0), n_particles)
+    parts0 = jax.vmap(lambda kk: core.init_params(kk, data))(pkeys)
+    run = lambda k: smc_sample_sharded(
+        core.log_prior, lambda p: -core.nll(p, data), parts0, k, mesh,
+        n_stages=n_stages, n_mala=2,
+    )
+    parts, z = run(jax.random.PRNGKey(1))
+    jax.tree.leaves(parts)[0].block_until_ready()  # compile
+    t0 = time.perf_counter()
+    for r in range(reps):
+        parts, z = run(jax.random.PRNGKey(2 + r))
+        jax.tree.leaves(parts)[0].block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    # one "sample" = one particle advanced through all stages
+    return n_particles * n_stages / dt, dt
+
+
+def bench_hmc(mesh, core, data, pf, n_chains=8, n_samples=32, reps=3):
+    def logp(p):
+        return -core.loss(p, data)
+
+    jkeys = jax.random.split(jax.random.PRNGKey(3), n_chains)
+    chain0 = jax.vmap(
+        lambda kk: jax.tree.map(
+            lambda t: t + 0.05 * jax.random.normal(kk, t.shape, t.dtype), pf
+        )
+    )(jkeys)
+    run = lambda k: hmc_sample_sharded(
+        logp, chain0, k, mesh, n_chains=n_chains,
+        n_warmup=32, n_samples=n_samples, n_leapfrog=8,
+    )
+    s, a, r = run(jax.random.PRNGKey(4))
+    jax.tree.leaves(s)[0].block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(reps):
+        s, a, r = run(jax.random.PRNGKey(5 + i))
+        jax.tree.leaves(s)[0].block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    return n_chains * (32 + n_samples) / dt, dt
+
+
+def bench_hebo_suggest(mesh, reps=3):
+    space, X, y = _gp_problem()
+    kw = dict(pop=64, iters=32, migrate_every=8,
+              model_config={"num_epochs": 30, "n_restarts": 1})
+    opt = HEBO(space, mesh=mesh, **kw) if mesh is not None else HEBO(space, **kw)
+    opt.observe(space.inverse_transform(space.transform(
+        space.sample(64, seed=0))), y)
+    opt.suggest(4)  # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        opt.suggest(4)
+    return (time.perf_counter() - t0) / reps
+
+
+def main():
+    devs = jax.devices()
+    sizes = [n for n in (1, 2, 4, 8) if n <= len(devs)]
+    space, X, y = _gp_problem()
+    from hebo_tpu.models import get_model
+
+    m = get_model("gp", space, num_out=1, num_epochs=20, n_restarts=1)
+    m.fit(X, y)
+    core, data, pf = m.core, m.data, m.params
+
+    rows = []
+    for n in sizes:
+        mesh = Mesh(np.array(devs[:n]), ("shard",))
+        smc_sps, smc_dt = bench_smc(mesh, core, data)
+        hmc_sps, hmc_dt = bench_hmc(mesh, core, data, pf)
+        sug_dt = bench_hebo_suggest(mesh if n > 1 else None)
+        rows.append({
+            "devices": n,
+            "smc_particle_stages_per_s": round(smc_sps, 1),
+            "smc_wall_s": round(smc_dt, 4),
+            "hmc_transitions_per_s": round(hmc_sps, 1),
+            "hmc_wall_s": round(hmc_dt, 4),
+            "hebo_suggest_s": round(sug_dt, 4),
+        })
+        print(rows[-1], flush=True)
+
+    base = rows[0]
+    for r in rows:
+        r["smc_scaling_eff"] = round(
+            r["smc_particle_stages_per_s"]
+            / (base["smc_particle_stages_per_s"] * r["devices"]), 3)
+        r["hmc_scaling_eff"] = round(
+            r["hmc_transitions_per_s"]
+            / (base["hmc_transitions_per_s"] * r["devices"]), 3)
+
+    out = {
+        "backend": jax.default_backend(),
+        "n_devices_visible": len(devs),
+        "note": (
+            "virtual CPU devices measure functional scaling shape only; "
+            "true ICI scaling requires a real slice"
+        ),
+        "rows": rows,
+    }
+    path = os.path.join(os.path.dirname(__file__), "scaling_results.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -96,6 +96,9 @@ class GPCore:
         heteroscedastic: bool = False,
         use_pallas=None,
         pallas_interpret: bool = False,
+        max_cholesky_size: int = 2048,
+        cg_rank: int = 128,
+        cg_iters: int = 96,
     ):
         self.numeric_dims = tuple(numeric_dims)
         self.cat_dims = tuple(cat_dims)
@@ -159,6 +162,16 @@ class GPCore:
         # pallas_interpret runs the kernels under the interpreter (CPU tests).
         self.use_pallas = use_pallas
         self.pallas_interpret = pallas_interpret
+        # large-N solver (SURVEY §5.7): above max_cholesky_size the dense
+        # O(N³) factorization is replaced by pivoted-Cholesky-preconditioned
+        # CG (ops/cg.py) — dispatch is shape-static (padded bucket size), so
+        # each jitted program contains exactly one solver
+        self.max_cholesky_size = int(max_cholesky_size)
+        self.cg_rank = int(cg_rank)
+        self.cg_iters = int(cg_iters)
+
+    def _use_cg(self, n: int) -> bool:
+        return n > self.max_cholesky_size
 
     def _pallas_ssk_on(self) -> bool:
         if self.use_pallas is not None:
@@ -465,7 +478,9 @@ class GPCore:
         return jnp.exp(params.log_sc)
 
     # ------------------------------------------------------------ posterior
-    def posterior_cache(self, params: GPParams, data: GPData) -> GPCache:
+    def _train_system(self, params: GPParams, data: GPData):
+        """(Kt, r): masked train gram + noise with inert padded rows, and
+        the centered residual."""
         K = self.gram_points(params, data.X, data.X, data)
         noise = self.noise_diag(params, data.X, data)
         m = data.mask.astype(K.dtype)
@@ -474,6 +489,23 @@ class GPCore:
         eye = jnp.eye(n, dtype=K.dtype)
         Kt = m2 * (K + jnp.diag(noise)) + eye * (1.0 - m)
         r = (data.y - params.mean) * m[:, None]
+        return Kt, r
+
+    def posterior_cache(self, params: GPParams, data: GPData) -> GPCache:
+        Kt, r = self._train_system(params, data)
+        if self._use_cg(Kt.shape[0]):
+            # large-N: rank-k pivoted-Cholesky preconditioner + block CG;
+            # GPCache.L carries the (N, k) preconditioner factor
+            from ...ops.cg import pcg_solve, pivoted_cholesky, woodbury_precond_apply
+
+            P = pivoted_cholesky(Kt, self.cg_rank)
+            delta = jnp.exp(params.log_noise) + self.noise_lb
+            apply = woodbury_precond_apply(P, delta)
+            alpha, res = pcg_solve(
+                lambda X: Kt @ X, r, precond_apply=apply, n_iters=self.cg_iters
+            )
+            ok = jnp.all(jnp.isfinite(alpha)) & (res[0] < 1e-2)
+            return GPCache(L=P, alpha=alpha, ok=ok)
         L, ok = safe_cholesky(Kt)
         alpha = chol_solve(L, r)
         return GPCache(L=L, alpha=alpha, ok=ok)
@@ -487,9 +519,23 @@ class GPCore:
         m = data.mask.astype(Ks.dtype)
         Ks = Ks * m[:, None]
         mu = params.mean + Ks.T @ cache.alpha  # (P, 1)
-        v = jax.scipy.linalg.solve_triangular(cache.L, Ks, lower=True)  # (N, P)
         kss = self.prior_diag(params)  # k(x,x) for normalized kernels
-        var = jnp.maximum(kss - jnp.sum(v * v, axis=0), 1e-10)[:, None]
+        if self._use_cg(data.X.shape[0]):
+            # cache.L is the (N, k) pivoted-Cholesky preconditioner factor;
+            # the explained variance kᵀ Kt⁻¹ k comes from a block CG solve
+            from ...ops.cg import pcg_solve, woodbury_precond_apply
+
+            Kt, _ = self._train_system(params, data)
+            delta = jnp.exp(params.log_noise) + self.noise_lb
+            apply = woodbury_precond_apply(cache.L, delta)
+            vsol, _res = pcg_solve(
+                lambda X: Kt @ X, Ks, precond_apply=apply, n_iters=self.cg_iters
+            )
+            expl = jnp.sum(Ks * vsol, axis=0)
+        else:
+            v = jax.scipy.linalg.solve_triangular(cache.L, Ks, lower=True)
+            expl = jnp.sum(v * v, axis=0)
+        var = jnp.maximum(kss - expl, 1e-10)[:, None]
         # unit-Gaussian fallback on total factorization failure (gp.py:140-157)
         mu = jnp.where(cache.ok, mu, jnp.zeros_like(mu))
         var = jnp.where(cache.ok, var, jnp.ones_like(var))
@@ -523,8 +569,19 @@ class GPCore:
         )[:, None]
         Kss = self.gram_points(params, Xs, Xs, data)
         mu = (params.mean + Ks.T @ cache.alpha)[:, 0]
-        v = jax.scipy.linalg.solve_triangular(cache.L, Ks, lower=True)
-        cov = Kss - v.T @ v
+        if self._use_cg(data.X.shape[0]):
+            from ...ops.cg import pcg_solve, woodbury_precond_apply
+
+            Kt, _ = self._train_system(params, data)
+            delta = jnp.exp(params.log_noise) + self.noise_lb
+            apply = woodbury_precond_apply(cache.L, delta)
+            vsol, _ = pcg_solve(
+                lambda X: Kt @ X, Ks, precond_apply=apply, n_iters=self.cg_iters
+            )
+            cov = Kss - Ks.T @ vsol
+        else:
+            v = jax.scipy.linalg.solve_triangular(cache.L, Ks, lower=True)
+            cov = Kss - v.T @ v
         Lc, _ = safe_cholesky(cov, base_jitter=1e-5)
         z = jax.random.normal(key, (n_samples, Xs.shape[0]), dtype=mu.dtype)
         return mu[None, :] + z @ Lc.T
@@ -607,9 +664,16 @@ class GP(BaseModel):
         # pSGLD thinned ensemble, reference parity) or the north-star
         # samplers 'hmc' | 'svi' | 'smc' (models/gp/inference.py)
         self.inference = conf.get("inference", "map")
-        self.n_chains = conf.get("n_chains", 4)
+        # multi-chip: a jax.sharding.Mesh shards HMC chains / SMC particles
+        # across devices (inference.{hmc,smc}_sample_sharded — psum weight
+        # normalization, all_gather systematic resampling)
+        self.mesh = conf.get("mesh")
+        self._mesh_axis = conf.get("mesh_axis")
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        rup = lambda v: -(-int(v) // n_dev) * n_dev  # round up to mesh multiple
+        self.n_chains = rup(conf.get("n_chains", 4)) if self.mesh is not None else conf.get("n_chains", 4)
         self.n_warmup = conf.get("n_warmup", 64)
-        self.n_particles = conf.get("n_particles", 32)
+        self.n_particles = rup(conf.get("n_particles", 32)) if self.mesh is not None else conf.get("n_particles", 32)
         self._seed = conf.get("seed", 0)
         self._fit_jit = {}
         self._pred_jit = {}
@@ -642,9 +706,20 @@ class GP(BaseModel):
                 samples = jax.tree.map(lambda t: t[best], samples)
                 return pf, samples
 
+            mesh = self.mesh
+            mesh_axis = self._mesh_axis or (
+                mesh.axis_names[0] if mesh is not None else None
+            )
+
             @jax.jit
             def fit_fn(key, data: GPData):
-                from .inference import hmc_sample, smc_sample, svi_fit
+                from .inference import (
+                    hmc_sample,
+                    hmc_sample_sharded,
+                    smc_sample,
+                    smc_sample_sharded,
+                    svi_fit,
+                )
 
                 k_map, k_inf = jax.random.split(key)
                 pf, samples = map_fit(k_map, data)
@@ -663,10 +738,18 @@ class GP(BaseModel):
                         )
                     )(jitter_keys)
                     n_per = max(1, S)
-                    draws, _acc = hmc_sample(
-                        logp, chain0, k_run,
-                        n_chains=n_chains, n_warmup=n_warmup, n_samples=n_per,
-                    )
+                    if mesh is not None:
+                        draws, _acc, _rhat = hmc_sample_sharded(
+                            logp, chain0, k_run, mesh, axis=mesh_axis,
+                            n_chains=n_chains, n_warmup=n_warmup,
+                            n_samples=n_per,
+                        )
+                    else:
+                        draws, _acc = hmc_sample(
+                            logp, chain0, k_run,
+                            n_chains=n_chains, n_warmup=n_warmup,
+                            n_samples=n_per,
+                        )
                     flat = jax.tree.map(
                         lambda t: t.reshape((t.shape[0] * t.shape[1],) + t.shape[2:]),
                         draws,
@@ -681,11 +764,18 @@ class GP(BaseModel):
                     k_init, k_run = jax.random.split(k_inf)
                     pkeys = jax.random.split(k_init, n_particles)
                     parts0 = jax.vmap(lambda kk: core.init_params(kk, data))(pkeys)
-                    parts, _logZ = smc_sample(
-                        core.log_prior,
-                        lambda p: -core.nll(p, data),
-                        parts0, k_run,
-                    )
+                    if mesh is not None:
+                        parts, _logZ = smc_sample_sharded(
+                            core.log_prior,
+                            lambda p: -core.nll(p, data),
+                            parts0, k_run, mesh, axis=mesh_axis,
+                        )
+                    else:
+                        parts, _logZ = smc_sample(
+                            core.log_prior,
+                            lambda p: -core.nll(p, data),
+                            parts0, k_run,
+                        )
                     take = jnp.linspace(0, n_particles - 1, S).astype(jnp.int32)
                     samples = jax.tree.map(lambda t: t[take], parts)
                 caches = jax.vmap(lambda p: core.posterior_cache(p, data))(samples)
@@ -693,6 +783,27 @@ class GP(BaseModel):
 
             self._fit_jit[n_pad] = fit_fn
         return self._fit_jit[n_pad]
+
+    def _get_fit_fn_big(self, key_pair):
+        """Large-N fit: hyperparameters inferred on a subsample bucket, the
+        CG posterior cache built on the FULL padded data (the reference
+        instead drops data beyond max_training_dataset_size=1000,
+        MCBO exact_gp.py:120-294)."""
+        k = ("big",) + tuple(key_pair)
+        if k not in self._fit_jit:
+            core = self.core
+            inner = self._get_fit_fn(key_pair[0])
+
+            @jax.jit
+            def fit_fn_big(key, data_fit: GPData, data_full: GPData):
+                pf, samples, _sub_caches = inner(key, data_fit)
+                caches = jax.vmap(
+                    lambda p: core.posterior_cache(p, data_full)
+                )(samples)
+                return pf, samples, caches
+
+            self._fit_jit[k] = fit_fn_big
+        return self._fit_jit[k]
 
     def fit(self, X, y):
         from ...utils.dtypes import pad_bucket
@@ -702,6 +813,22 @@ class GP(BaseModel):
         self.data = _make_data(X, y, self.core.numeric_dims, n_pad)
         key = jax.random.PRNGKey(self._seed)
         self._seed += 1
+        mcs = self.core.max_cholesky_size
+        if n_pad > mcs:
+            Xa = np.asarray(X, np.float32)
+            ya = np.asarray(y, np.float32).reshape(len(X), -1)[:, :1]
+            ok = np.isfinite(ya[:, 0]) & np.all(np.isfinite(Xa), axis=1)
+            Xv, yv = Xa[ok], ya[ok]
+            rng = np.random.default_rng(self._seed)
+            ksub = min(len(Xv), mcs)
+            idx = rng.choice(len(Xv), size=ksub, replace=False)
+            fit_pad = pad_bucket(max(ksub, 2))
+            data_fit = _make_data(Xv[idx], yv[idx], self.core.numeric_dims, fit_pad)
+            fit_fn = self._get_fit_fn_big((fit_pad, n_pad))
+            self.params, self.samples, self.caches = fit_fn(
+                key, data_fit, self.data
+            )
+            return self
         fit_fn = self._get_fit_fn(n_pad)
         self.params, self.samples, self.caches = fit_fn(key, self.data)
         return self

@@ -34,7 +34,7 @@ backend with ``--xla_force_host_platform_device_count``.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -77,6 +77,39 @@ def _tree_where(pred, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
+# Zero-sized leaves (e.g. the GP's empty categorical-embedding table on
+# cat-free spaces) cannot pass through shard_map: XLA normalizes them to
+# replicated, tripping the sharding-override check.  Pack them into (n, 1)
+# dummies at the boundary and restore the true trailing shapes inside.
+def _zero_leaf_trails(tree):
+    """Trailing shapes (beyond the leading batch axis) per flattened leaf;
+    None for leaves that need no packing."""
+    return [
+        tuple(l.shape[1:]) if (l.size == 0 and l.ndim >= 1) else None
+        for l in jax.tree.leaves(tree)
+    ]
+
+
+def _pack_zero_leaves(tree, trails):
+    leaves, treedef = jax.tree.flatten(tree)
+    out = [
+        jnp.zeros((l.shape[0], 1), l.dtype) if t is not None else l
+        for l, t in zip(leaves, trails)
+    ]
+    return jax.tree.unflatten(treedef, out)
+
+
+def _unpack_zero_leaves(tree, trails):
+    leaves, treedef = jax.tree.flatten(tree)
+    # slice-to-empty (not jnp.zeros) so the restored leaf inherits the
+    # packed leaf's device-varying metadata under shard_map
+    out = [
+        l[:, :0].reshape((l.shape[0],) + t) if t is not None else l
+        for l, t in zip(leaves, trails)
+    ]
+    return jax.tree.unflatten(treedef, out)
+
+
 # ----------------------------------------------------------------------- HMC
 class _DAState(NamedTuple):
     log_eps: jnp.ndarray
@@ -96,25 +129,17 @@ def _leapfrog(grad_fn, q, p, eps, n_steps):
     return lax.fori_loop(0, n_steps, body, (q, p))
 
 
-def hmc_sample(
+def _make_hmc_chain(
     logp: Callable,
-    init_params,
-    key: jax.Array,
     *,
-    n_chains: int = 4,
-    n_warmup: int = 64,
-    n_samples: int = 16,
-    n_leapfrog: int = 8,
-    init_step: float = 0.02,
-    target_accept: float = 0.8,
+    n_warmup: int,
+    n_samples: int,
+    n_leapfrog: int,
+    init_step: float,
+    target_accept: float,
 ):
-    """Run ``n_chains`` HMC chains; returns (samples, accept_rate).
-
-    ``init_params``: pytree with a leading chain axis of size n_chains
-    (e.g. built by vmapping an init function over split keys).
-    ``samples``: pytree with leading axis (n_samples, n_chains, ...)
-    thinned evenly from the post-warmup phase.
-    """
+    """Build ``one_chain(key, q0) -> (samples, accept_rate)`` — the single-
+    chain HMC kernel shared by the vmapped and shard_mapped front ends."""
     grad_fn = jax.grad(logp)
     total = n_warmup + n_samples  # one retained draw per post-warmup step
 
@@ -123,8 +148,12 @@ def hmc_sample(
     gamma, t0, kappa = 0.05, 10.0, 0.75
 
     def one_chain(key, q0):
+        # derive the zero from the (possibly device-varying) key so the
+        # dual-averaging carry has consistent varying-axis metadata when
+        # this kernel runs under shard_map (see shard_map scan-vma docs)
+        z = jnp.sum(key).astype(jnp.float32) * 0.0
         da0 = _DAState(
-            jnp.log(init_step), jnp.log(init_step), jnp.asarray(0.0), jnp.asarray(0.0)
+            jnp.log(init_step) + z, jnp.log(init_step) + z, z, z
         )
 
         def step(carry, i):
@@ -168,11 +197,122 @@ def hmc_sample(
         samples = jax.tree.map(lambda t: t[n_warmup:], qs)
         return samples, jnp.mean(a_probs[n_warmup:])
 
+    return one_chain
+
+
+def hmc_sample(
+    logp: Callable,
+    init_params,
+    key: jax.Array,
+    *,
+    n_chains: int = 4,
+    n_warmup: int = 64,
+    n_samples: int = 16,
+    n_leapfrog: int = 8,
+    init_step: float = 0.02,
+    target_accept: float = 0.8,
+):
+    """Run ``n_chains`` HMC chains; returns (samples, accept_rate).
+
+    ``init_params``: pytree with a leading chain axis of size n_chains
+    (e.g. built by vmapping an init function over split keys).
+    ``samples``: pytree with leading axis (n_samples, n_chains, ...)
+    thinned evenly from the post-warmup phase.
+    """
+    one_chain = _make_hmc_chain(
+        logp, n_warmup=n_warmup, n_samples=n_samples, n_leapfrog=n_leapfrog,
+        init_step=init_step, target_accept=target_accept,
+    )
     keys = jax.random.split(key, n_chains)
     samples, acc = jax.vmap(one_chain)(keys, init_params)
     # reorder to (n_samples, n_chains, ...)
     samples = jax.tree.map(lambda t: jnp.swapaxes(t, 0, 1), samples)
     return samples, acc
+
+
+def hmc_sample_sharded(
+    logp: Callable,
+    init_params,
+    key: jax.Array,
+    mesh,
+    *,
+    axis: Optional[str] = None,
+    n_chains: int = 8,
+    n_warmup: int = 64,
+    n_samples: int = 16,
+    n_leapfrog: int = 8,
+    init_step: float = 0.02,
+    target_accept: float = 0.8,
+):
+    """Chain-parallel HMC across a device mesh (north-star P2 axis).
+
+    ``init_params``: pytree with leading chain axis ``n_chains`` (must be a
+    multiple of the mesh size); chains are sharded with ``shard_map`` —
+    each device runs its chain block with the identical kernel used by
+    ``hmc_sample``, so 1-device and N-device runs are statistically
+    equivalent (same per-chain keys).  A cross-chain potential
+    scale-reduction factor (split-R̂ of a scalar pytree summary) is
+    computed in-graph with ``psum`` moment reductions.
+
+    Returns (samples (n_samples, n_chains, ...), accept_rate (n_chains,),
+    rhat scalar).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = axis or mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    assert n_chains % n_dev == 0, (n_chains, n_dev)
+    one_chain = _make_hmc_chain(
+        logp, n_warmup=n_warmup, n_samples=n_samples, n_leapfrog=n_leapfrog,
+        init_step=init_step, target_accept=target_accept,
+    )
+
+    def _summary(tree):
+        """Scalar per-sample summary for the R̂ diagnostic."""
+        return sum(
+            jnp.sum(l, axis=tuple(range(1, l.ndim)))
+            for l in jax.tree.leaves(tree)
+        )
+
+    trails = _zero_leaf_trails(init_params)
+
+    def per_device(keys_local, q0_local):
+        q0_local = _unpack_zero_leaves(q0_local, trails)
+        samples, acc = jax.vmap(one_chain)(keys_local, q0_local)
+        # split-R̂ over ALL chains: B/W from psum'd moments of the summary
+        s = jax.vmap(_summary)(samples)  # (chains_local, n_samples)
+        ch_mean = jnp.mean(s, axis=1)  # (chains_local,)
+        ch_var = jnp.var(s, axis=1, ddof=1)  # (chains_local,)
+        m = n_chains
+        grand = lax.psum(jnp.sum(ch_mean), axis) / m
+        B = lax.psum(jnp.sum((ch_mean - grand) ** 2), axis) * n_samples / (m - 1)
+        W = lax.psum(jnp.sum(ch_var), axis) / m
+        var_plus = (n_samples - 1) / n_samples * W + B / n_samples
+        rhat = jnp.sqrt(var_plus / jnp.maximum(W, 1e-12))
+        return _pack_zero_leaves(samples, trails), acc, rhat
+
+    smapped = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P()),
+    )
+    keys = jax.random.split(key, n_chains)
+    from jax.sharding import NamedSharding
+
+    sh = NamedSharding(mesh, P(axis))
+    keys = jax.device_put(keys, sh)
+    init_packed = jax.device_put(_pack_zero_leaves(init_params, trails), sh)
+    samples, acc, rhat = smapped(keys, init_packed)
+    # restore zero-sized leaves: (chains, n_samples) + original trailing shape
+    leaves, treedef = jax.tree.flatten(samples)
+    restored = [
+        jnp.zeros((l.shape[0], n_samples) + t, l.dtype) if t is not None else l
+        for l, t in zip(leaves, trails)
+    ]
+    samples = jax.tree.unflatten(treedef, restored)
+    samples = jax.tree.map(lambda t: jnp.swapaxes(t, 0, 1), samples)
+    return samples, acc, rhat
 
 
 # --------------------------------------------------------------------- slice
@@ -370,7 +510,11 @@ def smc_sample(
             jnp.arange(n),
         )
         parts = jax.tree.map(lambda t: t[idx], parts)
-        logw = jnp.where(do_resample, jnp.zeros_like(logw), logw - m - jnp.log(jnp.sum(jnp.exp(logw - m))))
+        # carry weights in the "sums to n" convention (uniform weight = 1):
+        # the evidence increment above uses mean(exp(logw')·exp Δll), which
+        # equals Σ w̄·exp Δll only when logw sums to n, matching the
+        # resampled (all-ones) branch
+        logw = jnp.where(do_resample, jnp.zeros_like(logw), jnp.log(w * n))
 
         # MALA mutation at temperature b_next
         def mala_once(pp, kk):
@@ -409,3 +553,152 @@ def smc_sample(
         stage, (init_particles, logw0, jnp.asarray(0.0), key), jnp.arange(n_stages)
     )
     return parts, logZ
+
+
+def smc_sample_sharded(
+    log_prior: Callable,
+    log_lik: Callable,
+    init_particles,
+    key: jax.Array,
+    mesh,
+    *,
+    axis: Optional[str] = None,
+    n_stages: int = 16,
+    n_mala: int = 2,
+    mala_step: float = 0.01,
+    ess_threshold: float = 0.5,
+):
+    """Particle-parallel likelihood-tempered SMC across a device mesh.
+
+    The north-star distributed-inference axis (BASELINE.json; SURVEY.md
+    §2.9 P2): particles are sharded with ``shard_map``; per stage the
+    importance-weight normalization and evidence increment are *global*
+    ``pmax``/``psum`` reductions, the ESS is a global ``psum``, and — when
+    the ESS collapses — **systematic resampling runs over the full
+    cross-device population**: weights and particle pytrees are
+    ``all_gather``-ed (hyperparameter pytrees are tiny — O(D) floats per
+    particle), each device computes its own slice of the global stratified
+    grid positions, and selects its new local block from the gathered
+    pool.  MALA mutation stays local.  The same stratified-uniform draw is
+    used on every device (the PRNG key is replicated), so the result is
+    identical to a single-device systematic resampling of the full
+    population.
+
+    ``init_particles``: pytree with leading particle axis (a multiple of
+    the mesh size).  Returns (particles, log_evidence) exactly like
+    ``smc_sample``.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = axis or mesh.axis_names[0]
+    n_total = jax.tree.leaves(init_particles)[0].shape[0]
+    n_dev = mesh.devices.size
+    assert n_total % n_dev == 0, (n_total, n_dev)
+    n_loc = n_total // n_dev
+    betas = jnp.linspace(0.0, 1.0, n_stages + 1)
+
+    v_lik = jax.vmap(log_lik)
+    v_tempered_grad = jax.vmap(
+        lambda q, b: jax.grad(lambda p: log_prior(p) + b * log_lik(p))(q),
+        in_axes=(0, None),
+    )
+
+    trails = _zero_leaf_trails(init_particles)
+
+    def per_device(parts_local, key):
+        parts_local = _unpack_zero_leaves(parts_local, trails)
+        i_dev = lax.axis_index(axis)
+        # device-local PRNG stream for mutation noise; the resampling
+        # stratified draw below uses the *replicated* key stream so all
+        # devices agree on the global resampling permutation.
+        k_rep = key
+        k_loc = jax.random.fold_in(key, i_dev + 1)
+
+        def stage(carry, s):
+            parts, logw, logZ, k_rep, k_loc = carry
+            b_prev, b_next = betas[s], betas[s + 1]
+            ll = v_lik(parts)
+            ll = jnp.where(jnp.isfinite(ll), ll, -1e10)
+            logw = logw + (b_next - b_prev) * ll
+
+            # ---- global normalization + evidence (psum/pmax) ----------
+            m = lax.pmax(jnp.max(logw), axis)
+            sw = lax.psum(jnp.sum(jnp.exp(logw - m)), axis)
+            logZ = logZ + m + jnp.log(sw / n_total)
+            w = jnp.exp(logw - m) / sw  # sums to 1 over ALL devices
+            ess = 1.0 / lax.psum(jnp.sum(w**2), axis)
+
+            k_rep, k_res = jax.random.split(k_rep)
+            k_loc, k_mala = jax.random.split(k_loc)
+            do_resample = ess < ess_threshold * n_total
+
+            # ---- global systematic resampling via all_gather ----------
+            w_all = lax.all_gather(w, axis).reshape(n_total)  # device-major
+            cum = jnp.cumsum(w_all)
+            u0 = jax.random.uniform(k_res, ())  # same on every device
+            pos = (jnp.arange(n_loc) + i_dev * n_loc + u0) / n_total
+            idx = jnp.searchsorted(cum, pos)  # this device's global picks
+            parts_all = jax.tree.map(
+                lambda t: lax.all_gather(t, axis).reshape((n_total,) + t.shape[1:]),
+                parts,
+            )
+            parts_res = jax.tree.map(lambda t: t[idx], parts_all)
+            parts = _tree_where(do_resample, parts_res, parts)
+            logw = jnp.where(do_resample, jnp.zeros_like(logw), jnp.log(w * n_total))
+
+            # ---- local MALA mutation at temperature b_next -------------
+            def mala_once(pp, kk):
+                g = v_tempered_grad(pp, b_next)
+                noise = _tree_randn_like(kk, pp)
+                prop = jax.tree.map(
+                    lambda q, gi, e: q + 0.5 * mala_step * gi
+                    + jnp.sqrt(mala_step) * e,
+                    pp, g, noise,
+                )
+
+                def logt(q):
+                    return log_prior(q) + b_next * log_lik(q)
+
+                lp_old = jax.vmap(logt)(pp)
+                lp_new = jax.vmap(logt)(prop)
+                log_alpha = jnp.where(jnp.isfinite(lp_new), lp_new - lp_old, -jnp.inf)
+                ku = jax.random.split(kk, 1)[0]
+                acc = jnp.log(jax.random.uniform(ku, (n_loc,))) < log_alpha
+                return jax.tree.map(
+                    lambda a, b2: jnp.where(
+                        acc.reshape((n_loc,) + (1,) * (a.ndim - 1)), a, b2
+                    ),
+                    prop, pp,
+                )
+
+            for j in range(n_mala):
+                k_mala, kj = jax.random.split(k_mala)
+                pp_new = mala_once(parts, kj)
+                parts = pp_new
+            return (parts, logw, logZ, k_rep, k_loc), ess
+
+        # derive the zero log-weights from the (device-varying) particles so
+        # the scan carry's varying-axis metadata is consistent under shard_map
+        logw0 = 0.0 * jax.vmap(
+            lambda p: sum(jnp.sum(l) for l in jax.tree.leaves(p))
+        )(parts_local)
+        (parts, logw, logZ, _, _), _ = lax.scan(
+            stage, (parts_local, logw0, jnp.asarray(0.0), k_rep, k_loc),
+            jnp.arange(n_stages),
+        )
+        return _pack_zero_leaves(parts, trails), logZ
+
+    smapped = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=(P(axis), P()),
+    )
+    from jax.sharding import NamedSharding
+
+    init_packed = jax.device_put(
+        _pack_zero_leaves(init_particles, trails), NamedSharding(mesh, P(axis))
+    )
+    key = jax.device_put(key, NamedSharding(mesh, P()))
+    parts, logZ = smapped(init_packed, key)
+    return _unpack_zero_leaves(parts, trails), logZ

@@ -5,12 +5,12 @@ The reference recovers from non-PSD kernel matrices by escalating jitter
 (HEBO/hebo/models/gp/gp.py:103-126) and by rolling back model state on
 NotPSDError (MCBO/mcbo/models/gp/exact_gp.py:176-213).  On TPU a python
 retry would force a retrace/recompile per failure; here the whole ladder
-is a fixed-length ``lax.scan`` inside the jitted program: we attempt the
-factorization at every rung, detect NaNs in the factor, and select the
-first rung that succeeded.  Cost: LADDER extra factorizations only in the
-(rare) failure case is avoided by ``lax.cond``-gating each rung on the
-previous rung's failure — XLA still compiles all rungs, but only the
-needed ones execute dense math.
+lives inside the jitted program: factorize at every rung, detect NaNs in
+the factor, and ``where``-select the first rung that succeeded.  All
+rungs execute unconditionally — on every real hot path the ladder sits
+under a vmapped restart/sample axis where a ``lax.cond`` would lower to
+``select`` (both branches run) anyway, and the branch-free form composes
+cleanly with ``shard_map``'s varying-axis tracking.
 """
 
 from __future__ import annotations
@@ -45,15 +45,10 @@ def safe_cholesky(K: jnp.ndarray, base_jitter: float = 1e-6):
     L, ok = attempt(jnp.asarray(0.0, K.dtype))
 
     for rung in _LADDER[1:]:
-        rung = jnp.asarray(rung, K.dtype)
-
-        def retry(_):
-            return attempt(rung)
-
-        def keep(args):
-            return args
-
-        L, ok = lax.cond(ok, keep, retry, (L, ok))
+        L2, ok2 = attempt(jnp.asarray(rung, K.dtype))
+        take = (~ok) & ok2
+        L = jnp.where(take, L2, L)
+        ok = ok | ok2
     return L, ok
 
 

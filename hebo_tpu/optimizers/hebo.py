@@ -53,6 +53,8 @@ class HEBO(AbstractOptimizer):
         scramble_seed: int = 0,
         pop: int = 100,
         iters: int = 100,
+        mesh=None,
+        migrate_every: int = 10,
     ):
         super().__init__(space, csv_save_path)
         self.model_name = model_name
@@ -68,6 +70,12 @@ class HEBO(AbstractOptimizer):
         self.scramble_seed = scramble_seed
         self.pop = pop
         self.iters = iters
+        # multi-chip SPMD suggest (jax.sharding.Mesh, 1-D): GP restarts run
+        # per-device (global best via pmin/psum) and the NSGA-II population
+        # is sharded into islands with all_gather elite migration
+        # (parallel/sharded.make_fused_suggest_sharded)
+        self.mesh = mesh
+        self.migrate_every = migrate_every
         self._sobol_count = 0
         self.model = None
         self._evo = None
@@ -210,7 +218,20 @@ class HEBO(AbstractOptimizer):
         space = self.space
         n_pad = pad_bucket(max(len(Xv), 2))
         meta = _space_meta(space, fix_input)
-        ck = (n_pad, meta)
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        # population padded to a device multiple (islands are equal-sized)
+        pop_eff = -(-self.pop // n_dev) * n_dev
+        ck = (n_pad, meta, n_dev)
+        if self.mesh is not None and ck not in self._fused:
+            from ..parallel.sharded import make_fused_suggest_sharded
+
+            self._fused[ck] = make_fused_suggest_sharded(
+                self.mesh, self.model.core, self._acq, meta,
+                n_restarts=self.model.n_restarts,
+                iters=self.iters, pop=pop_eff,
+                n_obj=self._acq.num_out,
+                migrate_every=self.migrate_every,
+            )
         if ck not in self._fused:
             core = self.model.core
             acq = self._acq
@@ -291,7 +312,7 @@ class HEBO(AbstractOptimizer):
 
             self._fused[ck] = fused
 
-        init_pop = space.sobol_sample_opt(self.pop, seed=self.num_obs).astype(
+        init_pop = space.sobol_sample_opt(pop_eff, seed=self.num_obs).astype(
             np.float32
         )
         if fix_input:
