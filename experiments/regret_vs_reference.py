@@ -1,0 +1,211 @@
+"""Statistical regret parity vs the reference pipeline (VERDICT r1 next-#4).
+
+Runs >=10 seeds of (a) this framework's HEBO and (b) the reference-
+equivalent torch HEBO (experiments/reference_torch_hebo.py — same math and
+loop structure as HEBO/hebo/optimizers/hebo.py under identical budgets) on
+Ackley-6D, Branin, and sklearn SVM tuning, then tests mean±2SE band
+overlap of the incumbent-regret curves at every iteration.
+
+    env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu PYTHONPATH=. \
+        python experiments/regret_vs_reference.py [--seeds 10] [--iters 20]
+
+Writes experiments/regret_vs_reference.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from experiments.reference_torch_hebo import TorchHEBO, ackley  # noqa: E402
+
+
+def branin(X):
+    x = np.asarray(X, float)
+    a, b, c = 1.0, 5.1 / (4 * np.pi**2), 5.0 / np.pi
+    r, s, t = 6.0, 10.0, 1.0 / (8 * np.pi)
+    y = (
+        a * (x[:, 1] - b * x[:, 0] ** 2 + c * x[:, 0] - r) ** 2
+        + s * (1 - t) * np.cos(x[:, 0]) + s
+    )
+    return y[:, None]
+
+
+BRANIN_MIN = 0.397887
+ACKLEY_MIN = 0.0
+
+
+def _svm_task():
+    from hebo_tpu.tasks.ml_tuning import SVMTuningTask
+
+    return SVMTuningTask()
+
+
+TASKS = {
+    "ackley6": dict(
+        d=6,
+        torch_space=lambda: [
+            {"name": f"x{i}", "type": "num", "lb": -5.0, "ub": 5.0} for i in range(6)
+        ],
+        jax_space=lambda: [
+            {"name": f"x{i}", "type": "num", "lb": -5.0, "ub": 5.0} for i in range(6)
+        ],
+        fn=ackley,
+        f_min=ACKLEY_MIN,
+    ),
+    "branin": dict(
+        d=2,
+        torch_space=lambda: [
+            {"name": "x0", "type": "num", "lb": -5.0, "ub": 10.0},
+            {"name": "x1", "type": "num", "lb": 0.0, "ub": 15.0},
+        ],
+        jax_space=lambda: [
+            {"name": "x0", "type": "num", "lb": -5.0, "ub": 10.0},
+            {"name": "x1", "type": "num", "lb": 0.0, "ub": 15.0},
+        ],
+        fn=branin,
+        f_min=BRANIN_MIN,
+    ),
+}
+
+
+def run_jax_hebo(space_spec, fn, seed, iters, batch):
+    from hebo_tpu import HEBO, DesignSpace
+
+    space = DesignSpace().parse(space_spec)
+    opt = HEBO(space, scramble_seed=seed)
+    best = []
+    for _ in range(iters):
+        rec = opt.suggest(batch)
+        opt.observe(rec, fn(rec.values))
+        best.append(opt.best_y)
+    return np.asarray(best)
+
+
+def run_torch_hebo(space_spec, fn, seed, iters, batch):
+    opt = TorchHEBO(space_spec, seed=seed)
+    best = []
+    for _ in range(iters):
+        rec = opt.suggest(batch)
+        opt.observe(rec, fn(rec))
+        best.append(opt.best_y)
+    return np.asarray(best)
+
+
+def run_svm(framework, seed, iters, batch):
+    task = _svm_task()
+    if framework == "jax":
+        from hebo_tpu import HEBO
+
+        opt = HEBO(task.space, scramble_seed=seed)
+        best = []
+        for _ in range(iters):
+            rec = opt.suggest(batch)
+            opt.observe(rec, task(rec))
+            best.append(opt.best_y)
+        return np.asarray(best)
+    # torch reference on the same space: pow params become log10-space nums
+    space = [
+        {"name": "C", "type": "num", "lb": -2.0, "ub": 3.0},
+        {"name": "gamma", "type": "num", "lb": -4.0, "ub": 1.0},
+        {"name": "epsilon", "type": "num", "lb": -3.0, "ub": 0.0},
+        {"name": "kernel", "type": "cat", "n_cats": 3},
+    ]
+    kernels = ["rbf", "poly", "sigmoid"]
+
+    def fn(X):
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "C": 10.0 ** X[:, 0],
+            "gamma": 10.0 ** X[:, 1],
+            "epsilon": 10.0 ** X[:, 2],
+            "kernel": [kernels[int(k)] for k in X[:, 3]],
+        })
+        return task(df)
+
+    opt = TorchHEBO(space, seed=seed)
+    best = []
+    for _ in range(iters):
+        rec = opt.suggest(batch)
+        opt.observe(rec, fn(rec))
+        best.append(opt.best_y)
+    return np.asarray(best)
+
+
+def overlap_test(a, b):
+    """a, b: (seeds, iters) incumbent curves. Returns per-iter band overlap
+    of mean +/- 2*SE and the fraction of iters overlapping."""
+    ma, sa = a.mean(0), 2 * a.std(0, ddof=1) / np.sqrt(len(a))
+    mb, sb = b.mean(0), 2 * b.std(0, ddof=1) / np.sqrt(len(b))
+    lo_a, hi_a = ma - sa, ma + sa
+    lo_b, hi_b = mb - sb, mb + sb
+    overlap = (lo_a <= hi_b) & (lo_b <= hi_a)
+    return overlap, float(overlap.mean())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--tasks", default="ackley6,branin,svm")
+    args = ap.parse_args()
+
+    results = {}
+    for tname in args.tasks.split(","):
+        print(f"== {tname} ==", flush=True)
+        curves = {"jax": [], "torch": []}
+        t_wall = {"jax": 0.0, "torch": 0.0}
+        for seed in range(args.seeds):
+            for fw in ("jax", "torch"):
+                t0 = time.time()
+                if tname == "svm":
+                    c = run_svm(fw, seed, args.iters, args.batch)
+                else:
+                    spec = TASKS[tname]
+                    space = spec["jax_space"]() if fw == "jax" else spec["torch_space"]()
+                    run = run_jax_hebo if fw == "jax" else run_torch_hebo
+                    c = run(space, spec["fn"], seed, args.iters, args.batch)
+                curves[fw].append(c)
+                t_wall[fw] += time.time() - t0
+            print(f"  seed {seed}: jax {curves['jax'][-1][-1]:.4f} "
+                  f"torch {curves['torch'][-1][-1]:.4f}", flush=True)
+        a = np.stack(curves["jax"])
+        b = np.stack(curves["torch"])
+        f_min = TASKS.get(tname, {}).get("f_min", 0.0)
+        _, frac = overlap_test(a - f_min, b - f_min)
+        results[tname] = {
+            "seeds": args.seeds,
+            "iters": args.iters,
+            "batch": args.batch,
+            "jax_mean_final": round(float(a[:, -1].mean()), 4),
+            "jax_2se_final": round(float(2 * a[:, -1].std(ddof=1) / np.sqrt(len(a))), 4),
+            "torch_mean_final": round(float(b[:, -1].mean()), 4),
+            "torch_2se_final": round(float(2 * b[:, -1].std(ddof=1) / np.sqrt(len(b))), 4),
+            "band_overlap_frac": round(frac, 3),
+            "jax_curve_mean": [round(float(v), 4) for v in a.mean(0)],
+            "torch_curve_mean": [round(float(v), 4) for v in b.mean(0)],
+            "wall_s_per_seed": {k: round(v / args.seeds, 2) for k, v in t_wall.items()},
+        }
+        print(f"  overlap {frac:.2f} | jax {results[tname]['jax_mean_final']} "
+              f"± {results[tname]['jax_2se_final']} vs torch "
+              f"{results[tname]['torch_mean_final']} ± "
+              f"{results[tname]['torch_2se_final']}", flush=True)
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "regret_vs_reference.json")
+    with open(path, "w") as f:
+        json.dump(results, f, indent=2)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

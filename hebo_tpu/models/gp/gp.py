@@ -99,6 +99,8 @@ class GPCore:
         max_cholesky_size: int = 2048,
         cg_rank: int = 128,
         cg_iters: int = 96,
+        cond_groups=None,
+        cond_cat_to_group=None,
     ):
         self.numeric_dims = tuple(numeric_dims)
         self.cat_dims = tuple(cat_dims)
@@ -148,8 +150,21 @@ class GPCore:
             n_cat_feat, n_cat_param = 0, C
         elif self.cat_kernel == "ssk":
             n_cat_feat, n_cat_param = 0, 2
+        elif self.cat_kernel == "conditional_to":
+            # hierarchical spaces (MCBO ConditionalTransformedOverlapKernel,
+            # kernels.py:410): categories select which numeric dims are
+            # active; the numeric features are consumed per category group
+            # rather than by a standalone product factor
+            n_cat_feat, n_cat_param = 0, C
         else:
             raise ValueError(f"unknown cat_kernel {cat_kernel!r}")
+        # conditional_to config: cond_groups = tuple of tuples of positions
+        # into numeric_dims (each group = one category's hyperparameters);
+        # cond_cat_to_group = per-category group index (-1: no hyperparams)
+        self.cond_groups = tuple(
+            tuple(g) for g in (cond_groups or ())
+        )
+        self.cond_cat_to_group = tuple(cond_cat_to_group or ())
         self.ssk_max_subseq = ssk_max_subseq
         self.n_feat_dims = self.d_num + n_cat_feat
         self.n_cat_param = n_cat_param
@@ -236,6 +251,24 @@ class GPCore:
         f1 = self.features(params, X1, data)
         f2 = self.features(params, X2, data)
         parts = []
+        if self.cat_kernel == "conditional_to":
+            from .kernels import conditional_transformed_overlap
+
+            ls = jnp.exp(params.log_ls[: self.n_feat_dims])
+            grams = []
+            for dims in self.cond_groups:
+                d = jnp.asarray(dims, jnp.int32)
+                grams.append(self.kfn(f1[:, d], f2[:, d], ls[d]))
+            if not grams:  # no hyperparameter groups: pure overlap shape
+                grams = [jnp.ones((f1.shape[0], f2.shape[0]), f1.dtype)]
+            lam = jnp.exp(params.log_ls[self.n_feat_dims :])
+            c1 = X1[:, list(self.cat_dims)]
+            c2 = X2[:, list(self.cat_dims)]
+            return jnp.exp(params.log_sc) * conditional_transformed_overlap(
+                c1, c2, jnp.stack(grams), jnp.asarray(
+                    self.cond_cat_to_group, jnp.int32
+                ), lam,
+            )
         if self.n_feat_dims:
             ls = jnp.exp(params.log_ls[: self.n_feat_dims])
             if self.use_pallas and self.kernel_name == "matern32":
@@ -504,7 +537,11 @@ class GPCore:
             alpha, res = pcg_solve(
                 lambda X: Kt @ X, r, precond_apply=apply, n_iters=self.cg_iters
             )
-            ok = jnp.all(jnp.isfinite(alpha)) & (res[0] < 1e-2)
+            # f32 CG stalls near ~1e-2 relative residual on small-noise
+            # systems; a few-percent residual in alpha is immaterial to
+            # the surrogate, so only genuinely failed solves trip the
+            # unit-Gaussian fallback
+            ok = jnp.all(jnp.isfinite(alpha)) & (res[0] < 0.2)
             return GPCache(L=P, alpha=alpha, ok=ok)
         L, ok = safe_cholesky(Kt)
         alpha = chol_solve(L, r)
@@ -658,6 +695,11 @@ class GP(BaseModel):
             heteroscedastic=conf.get("heteroscedastic", False),
             use_pallas=conf.get("use_pallas"),
             pallas_interpret=conf.get("pallas_interpret", False),
+            max_cholesky_size=conf.get("max_cholesky_size", 2048),
+            cg_rank=conf.get("cg_rank", 128),
+            cg_iters=conf.get("cg_iters", 96),
+            cond_groups=conf.get("cond_groups"),
+            cond_cat_to_group=conf.get("cond_cat_to_group"),
         )
         self.n_restarts = conf.get("n_restarts", 1)
         # posterior-over-hyperparameters mode: 'map' (Adam/pSGLD point or

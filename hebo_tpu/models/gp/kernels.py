@@ -152,6 +152,49 @@ def transformed_overlap(
     return jnp.exp(s - s_max)
 
 
+def conditional_transformed_overlap(
+    c1: jnp.ndarray,
+    c2: jnp.ndarray,
+    group_grams: jnp.ndarray,
+    cat_to_group: jnp.ndarray,
+    lam: jnp.ndarray,
+) -> jnp.ndarray:
+    """Conditional (hierarchical) transformed-overlap kernel.
+
+    Parity: MCBO ``ConditionalTransformedOverlapKernel``
+    (models/gp/kernels.py:410-560): per sequence dimension d the
+    similarity is 0 on a category mismatch, 1 on a match whose category
+    has no hyperparameters, and K^{H_c}(params, params') — the matched
+    category's hyperparameter-kernel gram — otherwise; the per-dim
+    similarities are ARD-weighted, averaged and exponentiated.  Unlike
+    the reference (which leaves the scale to gpytorch's ScaleKernel) the
+    result is normalized so k(x, x) = 1, matching this module's
+    ``transformed_overlap`` convention.
+
+    c1 (N1, C), c2 (N2, C): integer category codes per sequence dim;
+    group_grams (G, N1, N2): normalized hyperparameter-kernel grams, one
+    per category group; cat_to_group (n_cats,): group index per category
+    or -1 for categories without hyperparameters; lam (C,): positive ARD
+    weights.
+    """
+    N1, C = c1.shape
+    N2 = c2.shape[0]
+    c1i = c1.astype(jnp.int32)
+    match = c1i[:, None, :] == c2.astype(jnp.int32)[None, :, :]  # (N1,N2,C)
+    g = cat_to_group[c1i]  # (N1, C); valid wherever match holds
+    gsafe = jnp.maximum(g, 0)
+    moved = jnp.moveaxis(group_grams, 0, -1)  # (N1, N2, G)
+    picked = jnp.take_along_axis(
+        moved, jnp.broadcast_to(gsafe[:, None, :], (N1, N2, C)), axis=-1
+    )  # (N1, N2, C)
+    has_hyp = (g >= 0)[:, None, :]
+    sim = jnp.where(match, jnp.where(has_hyp, picked, 1.0), 0.0)
+    s = jnp.sum(sim * lam[None, None, :], axis=-1) / jnp.maximum(
+        jnp.sum(lam), 1e-12
+    )
+    return jnp.exp(s - 1.0)
+
+
 def ordinal_kernel(x1, x2, lengthscales, num_values):
     """Normalized absolute-difference kernel for ordinal codes.
 

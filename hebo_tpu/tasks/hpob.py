@@ -21,7 +21,12 @@ import pandas as pd
 
 from ..design_space import DesignSpace
 
-__all__ = ["TabularBenchmark", "SyntheticHPOBTask"]
+__all__ = [
+    "TabularBenchmark",
+    "SyntheticHPOBTask",
+    "load_meta_dataset",
+    "run_hpob_eval",
+]
 
 
 class TabularBenchmark:
@@ -37,11 +42,19 @@ class TabularBenchmark:
 
     @classmethod
     def load_json(cls, path: str, search_space_id: str, dataset_id: str):
-        """HPO-B meta-dataset layout: {space: {dataset: {'X': …, 'y': …}}}."""
+        """HPO-B meta-dataset layout: {space: {dataset: {'X': …, 'y': …}}}.
+
+        Real-schema notes (NAP/HPOB_data/convertHPOB.py:30-43): ``y`` is a
+        list of single-element lists of accuracies in [0, 1] (maximize);
+        we store the raw accuracy and leave min/max semantics to callers
+        (``run_hpob_eval`` maximizes, BO loops minimize ``-y``)."""
         with open(path) as f:
             data = json.load(f)
         entry = data[search_space_id][dataset_id]
-        return cls(np.asarray(entry["X"]), np.asarray(entry["y"]))
+        y = np.asarray(entry["y"], float)
+        if y.ndim == 2:  # real schema: (n, 1)
+            y = y[:, 0]
+        return cls(np.asarray(entry["X"], float), y)
 
     @property
     def space(self) -> DesignSpace:
@@ -86,3 +99,66 @@ class SyntheticHPOBTask(TabularBenchmark):
     @classmethod
     def make_suite(cls, n_tasks: int = 4, dim: int = 3, seed: int = 0):
         return [cls(dim=dim, seed=seed + i) for i in range(n_tasks)]
+
+
+def load_meta_dataset(path: str) -> Dict[str, Dict[str, TabularBenchmark]]:
+    """Load a full HPO-B meta-dataset file (the real
+    ``meta-{train,validation,test}-dataset.json`` layout used by
+    NAP/HPOB_data/convertHPOB.py:30-43): {space_id: {dataset_id:
+    {"X": [[...]], "y": [[...]]}}} → nested TabularBenchmark dict."""
+    with open(path) as f:
+        data = json.load(f)
+    out: Dict[str, Dict[str, TabularBenchmark]] = {}
+    for space_id, datasets in data.items():
+        out[space_id] = {}
+        for dataset_id, entry in datasets.items():
+            y = np.asarray(entry["y"], float)
+            if y.ndim == 2:
+                y = y[:, 0]
+            out[space_id][dataset_id] = TabularBenchmark(
+                np.asarray(entry["X"], float), y
+            )
+    return out
+
+
+def run_hpob_eval(
+    benchmarks: Dict[str, Dict[str, TabularBenchmark]],
+    make_optimizer=None,
+    n_seeds: int = 5,
+    n_trials: int = 50,
+    n_init: int = 5,
+) -> Dict[str, Dict[str, Dict[str, List[float]]]]:
+    """Run BO episodes over HPO-B surfaces and emit the REFERENCE results
+    schema (NAP/results/HPO-B/{NAP,GP,Random}.json): {space_id:
+    {dataset_id: {"test<seed>": [best-so-far accuracy per trial]}}}.
+
+    Accuracies are maximized (raw [0,1] values, exactly as the reference
+    traces store them); BO internally minimizes ``-y``.  ``make_optimizer``
+    defaults to HEBO; pass e.g. ``lambda space, seed: None`` semantics via
+    a custom factory for baselines."""
+    from ..optimizers.hebo import HEBO
+
+    if make_optimizer is None:
+        def make_optimizer(space, seed):
+            return HEBO(space, rand_sample=n_init, scramble_seed=seed,
+                        model_config={"num_epochs": 25, "n_restarts": 1},
+                        pop=48, iters=32)
+
+    results: Dict[str, Dict[str, Dict[str, List[float]]]] = {}
+    for space_id, datasets in benchmarks.items():
+        results[space_id] = {}
+        for dataset_id, bench in datasets.items():
+            traces: Dict[str, List[float]] = {}
+            for seed in range(n_seeds):
+                opt = make_optimizer(bench.space, seed)
+                best = -np.inf
+                trace = []
+                for _ in range(n_trials):
+                    rec = opt.suggest(1)
+                    acc = float(bench(rec)[0, 0])
+                    opt.observe(rec, np.asarray([[-acc]]))  # minimize -acc
+                    best = max(best, acc)
+                    trace.append(best)
+                traces[f"test{seed}"] = trace
+            results[space_id][dataset_id] = traces
+    return results

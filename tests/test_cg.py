@@ -110,3 +110,76 @@ def test_gp_large_n_fit_predict_runs():
     # should correlate strongly with the targets
     cc = np.corrcoef(mu[:, 0], y[:64, 0])[0, 1]
     assert cc > 0.9, cc
+
+
+# --------------------------------------- conditional transformed overlap
+def test_conditional_transformed_overlap_semantics():
+    """Manual check of the per-dim rules (MCBO kernels.py:410-560):
+    mismatch -> 0; match w/o hyperparams -> 1; match w/ hyperparams ->
+    hyp-kernel gram value."""
+    import jax.numpy as jnp
+
+    from hebo_tpu.models.gp.kernels import conditional_transformed_overlap
+
+    # 2 seq dims, categories {0: group0, 1: no-hyp, 2: group1}
+    c1 = jnp.asarray([[0, 1], [2, 2]], jnp.float32)
+    c2 = jnp.asarray([[0, 1], [1, 2]], jnp.float32)
+    g0 = jnp.asarray([[0.5, 0.2], [0.3, 0.9]], jnp.float32)
+    g1 = jnp.asarray([[0.8, 0.6], [0.4, 0.7]], jnp.float32)
+    grams = jnp.stack([g0, g1])
+    cat2g = jnp.asarray([0, -1, 1], jnp.int32)
+    lam = jnp.asarray([1.0, 1.0], jnp.float32)
+    K = np.asarray(conditional_transformed_overlap(c1, c2, grams, cat2g, lam))
+    # x1[0] vs x2[0]: dims (0==0 cat0 -> g0[0,0]=0.5), (1==1 no-hyp -> 1)
+    want00 = np.exp((0.5 + 1.0) / 2.0 - 1.0)
+    # x1[0] vs x2[1]: (0 vs 1 mismatch -> 0), (1 vs 2 mismatch -> 0)
+    want01 = np.exp(0.0 - 1.0)
+    # x1[1] vs x2[1]: (2 vs 1 mismatch -> 0), (2==2 cat2 -> g1[1,1]=0.7)
+    want11 = np.exp((0.0 + 0.7) / 2.0 - 1.0)
+    np.testing.assert_allclose(K[0, 0], want00, rtol=1e-5)
+    np.testing.assert_allclose(K[0, 1], want01, rtol=1e-5)
+    np.testing.assert_allclose(K[1, 1], want11, rtol=1e-5)
+    # self-similarity normalized to 1 (diag convention of this module)
+    Kd = np.asarray(conditional_transformed_overlap(c1, c1, jnp.stack(
+        [jnp.ones((2, 2)), jnp.ones((2, 2))]), cat2g, lam))
+    np.testing.assert_allclose(np.diag(Kd), 1.0, rtol=1e-5)
+
+
+def test_gp_conditional_to_fits_hierarchical_space():
+    """GP with cat_kernel=conditional_to on a hierarchical space: two
+    sequence dims choosing among 3 ops, where op 0 is tuned by x0 and op 2
+    by (x1, x2); op 1 has no hyperparameters."""
+    from hebo_tpu.design_space import DesignSpace
+    from hebo_tpu.models import get_model
+
+    space = DesignSpace().parse([
+        {"name": "x0", "type": "num", "lb": -1.0, "ub": 1.0},
+        {"name": "x1", "type": "num", "lb": -1.0, "ub": 1.0},
+        {"name": "x2", "type": "num", "lb": -1.0, "ub": 1.0},
+        {"name": "op_a", "type": "cat", "categories": ["p", "q", "r"]},
+        {"name": "op_b", "type": "cat", "categories": ["p", "q", "r"]},
+    ])
+    rng = np.random.default_rng(0)
+    n = 40
+    X = np.column_stack([
+        rng.uniform(-1, 1, (n, 3)),
+        rng.integers(0, 3, (n, 2)).astype(float),
+    ]).astype(np.float32)
+    y = (
+        np.sin(2 * X[:, 0]) * (X[:, 3] == 0)
+        + (X[:, 1] * X[:, 2]) * (X[:, 3] == 2)
+        + 0.3 * (X[:, 4] == 1)
+    ).reshape(-1, 1).astype(np.float32)
+    m = get_model(
+        "gp", space, num_out=1, num_epochs=20, n_restarts=1,
+        cat_kernel="conditional_to",
+        cond_groups=((0,), (1, 2)),          # positions into numeric dims
+        cond_cat_to_group=(0, -1, 1),        # p->group0, q->none, r->group1
+    )
+    m.fit(X, y)
+    mu, var = m.predict(X[:10])
+    assert np.all(np.isfinite(mu)) and np.all(var > 0)
+    # in-sample fit should beat the mean predictor
+    resid = np.mean((mu[:, 0] - y[:10, 0]) ** 2)
+    base = np.var(y[:10, 0])
+    assert resid < base, (resid, base)
