@@ -13,4 +13,5 @@ from .baselines import HillClimbing, LineBO, MultiArmedBandit, RandomSearch, Sim
 from .bo_builder import BO_ALGOS, BoBuilder, MCBOptimizer
 from .antbo import AntBOOptimizer, CasmopolitanCat
 from .safeopt import SafeOpt
+from .subdomain import AscentLineBO, CoordinateLineBO, RandomLineBO, SubDomainBO
 from .macebo import MACEBO
