@@ -1,0 +1,194 @@
+"""EM-LLM on a real HuggingFace causal LM (transformer-library integration).
+
+Parity: the reference EM-LLM patches real LLM attention to stream long
+contexts through an episodic memory (EM-LLM/em_llm/em_llm.py +
+attention/context_manager.py): chunked prefill, surprise-based event
+segmentation from the model's own token log-probabilities, per-layer KV
+events offloaded out of the window, and two-stage (similarity +
+contiguity) retrieval back into the attention window.
+
+This runner drives ANY HF causal LM through the same loop using the
+*public* ``past_key_values`` interface instead of monkey-patching
+attention internals — retrieved events' KV are materialized as the
+past-KV prefix for the next chunk, which is mathematically the same
+injection point (keys/values prepended to the attention window).
+Hermetic: tests instantiate a small random-weight GPT-2 via
+``transformers`` configs (no downloads; the image has no model cache).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from .memory import EpisodicKVMemory
+from .segmentation import segment_events
+
+__all__ = ["EMLLMRunner"]
+
+
+class EMLLMRunner:
+    """Chunked long-context inference with episodic KV retrieval.
+
+    Args:
+        model: a HF causal LM (e.g. ``GPT2LMHeadModel``) in eval mode.
+        chunk_size: prefill chunk length (the local attention window).
+        n_retrieve: events retrieved per chunk (similarity stage).
+        n_contig: temporal neighbors added per retrieved event.
+        event_len: max stored event length.
+    """
+
+    def __init__(
+        self,
+        model,
+        chunk_size: int = 64,
+        n_retrieve: int = 2,
+        n_contig: int = 1,
+        event_len: int = 32,
+        surprise_gamma: float = 1.0,
+    ):
+        import torch
+
+        self.torch = torch
+        self.model = model.eval()
+        self.cfg = model.config
+        self.n_layers = int(self.cfg.num_hidden_layers)
+        self.n_heads = int(
+            getattr(self.cfg, "num_attention_heads", getattr(self.cfg, "n_head", 1))
+        )
+        self.chunk_size = chunk_size
+        self.n_retrieve = n_retrieve
+        self.n_contig = n_contig
+        self.surprise_gamma = surprise_gamma
+        self.memories = [EpisodicKVMemory(event_len=event_len) for _ in range(self.n_layers)]
+        self._n_mem_tokens = 0
+
+    # ------------------------------------------------------------ internal
+    def _retrieve_past(self, q_proxy: np.ndarray):
+        """Build a past_key_values prefix from retrieved events.
+
+        ``q_proxy``: (H, Dh) mean query proxy for similarity scoring (the
+        reference scores with the current queries; the chunk's mean token
+        embedding per head is the streaming stand-in)."""
+        torch = self.torch
+        past = []
+        total = 0
+        for mem in self.memories:
+            if len(mem) == 0:
+                past.append(None)
+                continue
+            ids = mem.retrieve(
+                q_proxy[None, :, :], k_sim=self.n_retrieve,
+                k_contig=self.n_contig,
+            )
+            got = mem.gather_kv(ids)
+            if got is None:
+                past.append(None)
+                continue
+            K, V, m = got  # (Lr, H, Dh) + validity mask for padded rows
+            K, V = K[m], V[m]
+            total = max(total, K.shape[0])
+            past.append(
+                (
+                    torch.tensor(K, dtype=torch.float32).permute(1, 0, 2)[None],
+                    torch.tensor(V, dtype=torch.float32).permute(1, 0, 2)[None],
+                )
+            )
+        if all(p is None for p in past):
+            return None, 0
+        # layers with empty memory get zero-length KV of matching shape
+        Dh = None
+        for p in past:
+            if p is not None:
+                Dh = p[0].shape[-1]
+                break
+        fixed = []
+        for p in past:
+            if p is None:
+                z = self.torch.zeros((1, self.n_heads, 0, Dh))
+                fixed.append((z, z))
+            else:
+                fixed.append(p)
+        # uniform length is not required across layers for HF DynamicCache?
+        # it is — pad each layer's KV to the max length with zeros
+        out = []
+        for k, v in fixed:
+            L = k.shape[2]
+            if L < total:
+                pad = self.torch.zeros((1, self.n_heads, total - L, k.shape[-1]))
+                k = self.torch.cat([pad, k], dim=2)
+                v = self.torch.cat([pad, v], dim=2)
+            out.append((k, v))
+        return out, total
+
+    def _to_cache(self, past):
+        """Wrap legacy (k, v) tuples for modern transformers versions."""
+        if past is None:
+            return None
+        try:
+            from transformers import DynamicCache
+
+            return DynamicCache.from_legacy_cache(tuple(past))
+        except Exception:
+            return tuple(past)
+
+    # -------------------------------------------------------------- public
+    def process(self, input_ids: np.ndarray) -> dict:
+        """Stream a long token sequence through the model.
+
+        Returns dict with per-token negative log-likelihoods (the long-
+        context quality metric the reference reports), total events
+        stored, and tokens retrieved per chunk."""
+        torch = self.torch
+        ids = np.asarray(input_ids).ravel()
+        nlls: List[float] = []
+        retrieved_hist: List[int] = []
+        with torch.no_grad():
+            for s in range(0, len(ids), self.chunk_size):
+                chunk = ids[s : s + self.chunk_size]
+                x = torch.tensor(chunk[None], dtype=torch.long)
+                # similarity proxy: embedding mean reshaped per head
+                emb = self.model.get_input_embeddings()(x)[0]  # (T, D)
+                Dh = emb.shape[-1] // self.n_heads
+                q_proxy = (
+                    emb.mean(0).reshape(self.n_heads, Dh).numpy()
+                )
+                past, n_past = self._retrieve_past(q_proxy)
+                retrieved_hist.append(n_past)
+                att = torch.ones((1, n_past + len(chunk)), dtype=torch.long)
+                out = self.model(
+                    x,
+                    past_key_values=self._to_cache(past),
+                    attention_mask=att,
+                    use_cache=True,
+                )
+                logits = out.logits[0]  # (T, V)
+                logp = torch.log_softmax(logits[:-1], dim=-1)
+                tgt = x[0, 1:]
+                nll = -logp[torch.arange(len(tgt)), tgt]
+                nlls.extend([float(v) for v in nll])
+                # surprise for segmentation: first token gets the mean
+                surprise = np.concatenate([[float(nll.mean())] if len(nll) else [0.0],
+                                           nll.numpy()])[: len(chunk)]
+                # store this chunk's fresh KV (strip the retrieved prefix);
+                # boundary refinement uses layer-0 keys (reference refines
+                # on KV similarity, segmentation.py)
+                pkv = out.past_key_values
+                spans = None
+                for li in range(self.n_layers):
+                    k_l, v_l = pkv[li][0], pkv[li][1]
+                    Kc = k_l[0, :, n_past:, :].permute(1, 0, 2).numpy()
+                    Vc = v_l[0, :, n_past:, :].permute(1, 0, 2).numpy()
+                    if spans is None:
+                        keys_flat = Kc.reshape(Kc.shape[0], -1)
+                        spans = segment_events(
+                            keys_flat, surprise, gamma=self.surprise_gamma,
+                            min_event=4,
+                        )
+                    self.memories[li].add_events(Kc, Vc, spans)
+        return {
+            "nll_per_token": np.asarray(nlls),
+            "n_events": len(self.memories[0]),
+            "retrieved_per_chunk": retrieved_hist,
+        }

@@ -340,7 +340,12 @@ class GPCore:
         # padded rows/cols → identity block: logdet/quadratic unaffected
         Kt = m2 * (K + jnp.diag(noise)) + eye * (1.0 - m)
         r = (data.y - params.mean) * m[:, None]
-        L, ok = safe_cholesky(Kt)
+        # short 2-rung ladder: nll sits inside the pSGLD/HMC hot loops
+        # where every rung costs an unconditional factorization; the noise
+        # floor keeps rung-0 failures rare, a failed step is absorbed by
+        # the optimizer's NaN-guarded gradients, and the posterior cache
+        # (predict path) still uses the full 5-rung ladder
+        L, ok = safe_cholesky(Kt, rungs=(0.0, 1e-3))
         alpha = chol_solve(L, r)
         n_act = jnp.sum(m)
         quad = jnp.sum(r * alpha)
@@ -437,7 +442,12 @@ class GPCore:
         )
 
         def clip(g):
-            return jax.tree.map(lambda t: jnp.clip(t, -1e3, 1e3), g)
+            # NaN guard: a failed short-ladder Cholesky inside nll yields
+            # NaN gradients for that step — zeroing them makes the step a
+            # no-op (plus pSGLD noise) instead of poisoning the chain
+            return jax.tree.map(
+                lambda t: jnp.nan_to_num(jnp.clip(t, -1e3, 1e3)), g
+            )
 
         if self.optimizer == "adam":
             import optax

@@ -24,13 +24,20 @@ __all__ = ["safe_cholesky", "chol_solve", "chol_logdet"]
 _LADDER = (0.0, 1e-6, 1e-4, 1e-2, 1.0)
 
 
-def safe_cholesky(K: jnp.ndarray, base_jitter: float = 1e-6):
+def safe_cholesky(K: jnp.ndarray, base_jitter: float = 1e-6, rungs=None):
     """Cholesky of ``K + jitter*I`` escalating jitter until success.
 
     Returns ``(L, ok)`` where ``ok`` is False only if even the largest
     rung failed (callers then fall back to a unit-Gaussian posterior,
     mirroring reference gp.py:140-157).
+
+    ``rungs``: jitter-multiplier ladder (default the full 5-rung ladder).
+    Hot fit loops pass a short ladder — every rung costs a factorization
+    unconditionally, and a failed step inside an optimizer loop is cheap
+    to absorb (NaN-guarded gradients), whereas the posterior cache wants
+    maximum robustness.
     """
+    rungs = _LADDER if rungs is None else tuple(rungs)
     n = K.shape[-1]
     eye = jnp.eye(n, dtype=K.dtype)
     diag_mean = jnp.mean(jnp.diagonal(K, axis1=-2, axis2=-1), axis=-1)
@@ -42,9 +49,9 @@ def safe_cholesky(K: jnp.ndarray, base_jitter: float = 1e-6):
         ok = jnp.all(jnp.isfinite(L))
         return L, ok
 
-    L, ok = attempt(jnp.asarray(0.0, K.dtype))
+    L, ok = attempt(jnp.asarray(rungs[0], K.dtype))
 
-    for rung in _LADDER[1:]:
+    for rung in rungs[1:]:
         L2, ok2 = attempt(jnp.asarray(rung, K.dtype))
         take = (~ok) & ok2
         L = jnp.where(take, L2, L)

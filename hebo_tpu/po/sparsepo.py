@@ -11,6 +11,16 @@ TPU-native: a compact flax causal LM + mask head; training is one jitted
 optax scan over synthetic (or user) preference pairs.  The reference's
 HF-accelerate/deepspeed data parallelism maps to shard_map over the batch
 axis (same pattern as hebo_tpu.meta.ppo).
+
+Mask flavors (reference parity, src/masks/mask_models.py + the two
+trainers src/trainers/{sparse,mapo}_trainer.py):
+  * ``learned``     — last-hidden-state mask head (SimpleMaskLayer),
+  * ``all_layers``  — per-layer mask heads + linear mixer
+                      (SimpleMaskAllLayers),
+  * ``activation``  — MaPO: mask derived from model activations (z-normed
+                      per-token hidden norms), no learned mask params,
+  * ``common``      — one mask (from the chosen sequence) shared across
+                      the pair (the common-mask trainer variant).
 """
 
 from __future__ import annotations
@@ -44,6 +54,7 @@ class TinyLM(nn.Module):
         h = h + pos[None]
         causal = jnp.tril(jnp.ones((T, T), bool))
         mask = jnp.broadcast_to(causal, (B, self.n_heads, T, T))
+        per_layer = []
         for _ in range(self.n_layers):
             a = nn.MultiHeadDotProductAttention(
                 num_heads=self.n_heads, qkv_features=self.d_model
@@ -51,9 +62,33 @@ class TinyLM(nn.Module):
             h = nn.LayerNorm()(h + a)
             f = nn.Dense(self.d_model)(nn.gelu(nn.Dense(2 * self.d_model)(h)))
             h = nn.LayerNorm()(h + f)
+            per_layer.append(h)
         logits = nn.Dense(self.vocab)(h)
-        mask_logits = nn.Dense(1)(jax.lax.stop_gradient(h))[..., 0]
-        return logits, mask_logits
+        hs = jax.lax.stop_gradient(h)
+        # flavor heads (all computed; the loss selects one):
+        # SimpleMaskLayer — last hidden state
+        mask_logits = nn.Dense(1)(hs)[..., 0]
+        # SimpleMaskAllLayers — per-layer heads + linear mixer
+        per = jnp.stack(
+            [
+                nn.Dense(1, name=f"mask_l{i}")(
+                    nn.LayerNorm(name=f"mask_ln{i}")(jax.lax.stop_gradient(x))
+                )[..., 0]
+                for i, x in enumerate(per_layer)
+            ],
+            axis=-1,
+        )  # (B, T, L)
+        mask_all_layers = nn.Dense(1, use_bias=False, name="mask_mixer")(per)[..., 0]
+        # MaPO — activation statistic, parameter-free: z-normed hidden norm
+        act = jnp.linalg.norm(jax.lax.stop_gradient(h), axis=-1)  # (B, T)
+        act = (act - jnp.mean(act, axis=1, keepdims=True)) / (
+            jnp.std(act, axis=1, keepdims=True) + 1e-6
+        )
+        return logits, {
+            "learned": mask_logits,
+            "all_layers": mask_all_layers,
+            "activation": act,
+        }
 
 
 def _token_logps(logits, tokens):
@@ -62,23 +97,35 @@ def _token_logps(logits, tokens):
     return jnp.take_along_axis(lp, tokens[:, 1:, None], axis=-1)[..., 0]
 
 
+def _select_mask(masks_c, masks_r, mask_mode: str):
+    """Pick a flavor's (chosen, rejected) mask logits (see module doc)."""
+    if mask_mode in ("learned", "all_layers", "activation"):
+        return masks_c[mask_mode], masks_r[mask_mode]
+    if mask_mode == "common":
+        # one mask shared across the pair (common-mask trainer variant):
+        # computed from the chosen sequence's learned head
+        return masks_c["learned"], masks_c["learned"]
+    raise ValueError(f"unknown mask_mode {mask_mode!r}")
+
+
 def sparse_dpo_loss(
     model: TinyLM, params, ref_params, chosen, rejected,
-    beta: float = 0.5, mask_l1: float = 0.05,
+    beta: float = 0.5, mask_l1: float = 0.05, mask_mode: str = "learned",
 ):
-    """DPO with learned per-token masks.
+    """DPO with per-token masks (flavor selected by ``mask_mode``).
 
     π/π_ref log-ratios are aggregated with mask weights m_t ∈ (0, 1)
-    (sigmoid of the mask head on the CHOSEN/REJECTED sequences); an L1
-    term drives the masks sparse."""
+    (sigmoid of the selected mask head); an L1 term drives the masks
+    sparse (no-op for the parameter-free MaPO activation flavor)."""
     lc, mc = model.apply(params, chosen)
     lr, mr = model.apply(params, rejected)
     lc_ref, _ = model.apply(ref_params, chosen)
     lr_ref, _ = model.apply(ref_params, rejected)
     ratio_c = _token_logps(lc, chosen) - _token_logps(lc_ref, chosen)
     ratio_r = _token_logps(lr, rejected) - _token_logps(lr_ref, rejected)
-    m_c = jax.nn.sigmoid(mc[:, 1:])
-    m_r = jax.nn.sigmoid(mr[:, 1:])
+    mlog_c, mlog_r = _select_mask(mc, mr, mask_mode)
+    m_c = jax.nn.sigmoid(mlog_c[:, 1:])
+    m_r = jax.nn.sigmoid(mlog_r[:, 1:])
     s_c = jnp.sum(m_c * ratio_c, axis=1)
     s_r = jnp.sum(m_r * ratio_r, axis=1)
     dpo = -jnp.mean(jax.nn.log_sigmoid(beta * (s_c - s_r)))
@@ -108,6 +155,7 @@ def train_sparse_po(
     beta: float = 0.5,
     mask_l1: float = 0.05,
     batch: int = 16,
+    mask_mode: str = "learned",
 ):
     """→ (params, metrics dict).  The frozen init is the DPO reference."""
     k0, key = jax.random.split(key)
@@ -126,7 +174,7 @@ def train_sparse_po(
             def loss(pp):
                 return sparse_dpo_loss(
                     model, pp, ref_params, chosen[idx], rejected[idx],
-                    beta=beta, mask_l1=mask_l1,
+                    beta=beta, mask_l1=mask_l1, mask_mode=mask_mode,
                 )
 
             (val, mask_mean), g = jax.value_and_grad(loss, has_aux=True)(p)
@@ -146,17 +194,21 @@ def train_sparse_po(
     }
 
 
-def preference_accuracy(model, params, ref_params, chosen, rejected, beta=0.5):
+def preference_accuracy(model, params, ref_params, chosen, rejected,
+                        beta=0.5, mask_mode: str = "learned"):
     lc, mc = model.apply(params, chosen)
     lr, mr = model.apply(params, rejected)
     lc_ref, _ = model.apply(ref_params, chosen)
     lr_ref, _ = model.apply(ref_params, rejected)
+    mlog_c, mlog_r = _select_mask(mc, mr, mask_mode)
     s_c = jnp.sum(
-        jax.nn.sigmoid(mc[:, 1:]) * (_token_logps(lc, chosen) - _token_logps(lc_ref, chosen)),
+        jax.nn.sigmoid(mlog_c[:, 1:])
+        * (_token_logps(lc, chosen) - _token_logps(lc_ref, chosen)),
         axis=1,
     )
     s_r = jnp.sum(
-        jax.nn.sigmoid(mr[:, 1:]) * (_token_logps(lr, rejected) - _token_logps(lr_ref, rejected)),
+        jax.nn.sigmoid(mlog_r[:, 1:])
+        * (_token_logps(lr, rejected) - _token_logps(lr_ref, rejected)),
         axis=1,
     )
     return float(jnp.mean((s_c > s_r).astype(jnp.float32)))
