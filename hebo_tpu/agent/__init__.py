@@ -5,4 +5,7 @@ from .core import (
 from .llm import HFBackend, MockLLM
 from .logger import EpisodeLogger
 from .parsers import parse_action, parse_final_answer
-from .tasks import GridWorldTask, GSM8KStyleTask, TextTask, WebShopStyleTask
+from .tasks import (
+    AlfWorldStyleTask, GridWorldTask, GSM8KStyleTask, HotpotQAStyleTask,
+    HumanEvalStyleTask, TextTask, WebShopStyleTask,
+)

@@ -90,3 +90,76 @@ def test_episode_logger(tmp_path):
     assert len(lines) == 1
     rec = json.loads(lines[0])
     assert rec["reward"] == 1.0
+
+
+def test_hotpotqa_style_task():
+    from hebo_tpu.agent.tasks import HotpotQAStyleTask
+
+    t = HotpotQAStyleTask(0)
+    obs = t.reset()
+    assert "Question:" in obs
+    _, r, done = t.step("answer[Georgia]")
+    assert r == 1.0 and done
+    _, r_partial, _ = t.step("answer[the state of Georgia]")
+    assert 0.0 < r_partial <= 1.0
+    # yes/no questions are exact-match (reference hotpotqa.py:47-52)
+    t2 = HotpotQAStyleTask(1)
+    t2.reset()
+    _, r_yes, _ = t2.step("answer[yes]")
+    _, r_no, _ = t2.step("answer[certainly yes]")
+    assert r_yes == 1.0 and r_no == 0.0
+
+
+def test_humaneval_style_task():
+    from hebo_tpu.agent.tasks import HumanEvalStyleTask
+
+    t = HumanEvalStyleTask(0)
+    prompt = t.reset()
+    assert prompt.startswith("def add_positive")
+    _, r, done = t.step(
+        "def add_positive(xs):\n    return sum(x for x in xs if x > 0)"
+    )
+    assert r == 1.0 and done
+    _, r_bad, _ = t.step("def add_positive(xs):\n    return len(xs)")
+    assert r_bad == 0.0
+    # bare-body form is accepted too
+    _, r_body, _ = t.step("return sum(x for x in xs if x > 0)")
+    assert r_body == 1.0
+    # broken code scores 0, never raises
+    _, r_err, _ = t.step("def add_positive(xs:\n   oops")
+    assert r_err == 0.0
+
+
+def test_alfworld_style_task():
+    from hebo_tpu.agent.tasks import AlfWorldStyleTask
+
+    t = AlfWorldStyleTask(goal_obj="apple", goal_recep="fridge")
+    t.reset()
+    _, r, d = t.step("take[apple]")
+    assert r == 0.0 and not d
+    _, r, d = t.step("put[apple in fridge]")
+    assert r == 1.0 and d
+    # wrong receptacle is not terminal success
+    t.reset()
+    t.step("take[mug]")
+    _, r, d = t.step("put[mug in cabinet]")
+    assert r == 0.0 and not d
+    # navigation works
+    t.reset()
+    obs, _, _ = t.step("go[lounge]")
+    assert "lounge" in obs
+
+
+def test_agent_flow_on_new_tasks():
+    """The command/flow engine solves the new adapters with a scripted
+    policy (same pattern as the existing agent tests)."""
+    from hebo_tpu.agent.core import ActCommand, Agent, LoopFlow
+    from hebo_tpu.agent.llm import MockLLM
+    from hebo_tpu.agent.tasks import AlfWorldStyleTask
+
+    llm = MockLLM(script=["take[apple]", "put[apple in fridge]"])
+    env = AlfWorldStyleTask()
+    flow = LoopFlow(ActCommand(), max_iters=4)
+    agent = Agent(llm, env, flow)
+    total = agent.run()
+    assert total == 1.0
