@@ -43,8 +43,11 @@ class LatentSpaceBO(AbstractOptimizer):
         model_config: Optional[dict] = None,
         seed: int = 0,
         csv_save_path: Optional[str] = None,
+        unlabeled_weight: float = 0.5,
     ):
         super().__init__(space, csv_save_path)
+        self.unlabeled_weight = unlabeled_weight
+        self._unlabeled: Optional[np.ndarray] = None  # opt-frame rows
         self.latent_dim = latent_dim
         self.retrain_every = retrain_every
         self.n_init = n_init if n_init is not None else 2 * latent_dim + 2
@@ -109,6 +112,19 @@ class LatentSpaceBO(AbstractOptimizer):
             return codes
         return self.space.round_opt(self._denormalize(np.asarray(out)))
 
+    def add_unlabeled(self, df: pd.DataFrame) -> None:
+        """Register unlabeled structures for semi-supervised retraining.
+
+        T-LBO semi-supervised mode (reference robust_opt_scripts
+        ``--semi-supervised``): the VAE finetune sees these rows with a
+        fixed ``unlabeled_weight`` reconstruction weight; the rank
+        reweighting and the metric loss remain labeled-only.
+        """
+        Xu = self.space.transform(df)
+        self._unlabeled = (
+            Xu if self._unlabeled is None else np.vstack([self._unlabeled, Xu])
+        )
+
     def _retrain(self):
         from ..utils.dtypes import pad_bucket
 
@@ -117,6 +133,15 @@ class LatentSpaceBO(AbstractOptimizer):
         ok = np.isfinite(y[:, 0])
         Xv, yv = X[ok], y[ok]
         w = rank_weights(yv[:, 0], self.rank_k)
+        n_lab = len(Xv)
+        if self._unlabeled is not None and len(self._unlabeled):
+            Xv = np.vstack([Xv, self._unlabeled])
+            yv = np.vstack(
+                [yv, np.zeros((len(self._unlabeled), 1), yv.dtype)]
+            )
+            w = np.concatenate(
+                [w, np.full((len(self._unlabeled),), self.unlabeled_weight)]
+            )
         # pad to bucket with zero-weight rows so the jitted train program
         # compiles once per bucket, not once per observation count
         n = len(Xv)
@@ -125,7 +150,9 @@ class LatentSpaceBO(AbstractOptimizer):
         Xp = np.zeros((n_pad, Xn.shape[1]), np.float32)
         yp = np.zeros((n_pad, 1), np.float32)
         wp = np.zeros((n_pad,), np.float32)
+        lp = np.zeros((n_pad,), bool)
         Xp[:n], yp[:n], wp[:n] = Xn, yv, w
+        lp[:n_lab] = True
         self._key, k = jax.random.split(self._key)
         self.vae_params, _ = train_vae(
             self.vae, self.vae_params, k,
@@ -133,6 +160,7 @@ class LatentSpaceBO(AbstractOptimizer):
             jnp.asarray(yp),
             jnp.asarray(wp),
             n_steps=self.vae_steps,
+            labeled=jnp.asarray(lp),
         )
         self._n_retrains += 1
 

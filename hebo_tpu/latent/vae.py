@@ -133,9 +133,18 @@ def train_vae(
     beta: float = 1e-2,
     metric_weight: float = 1.0,
     lr: float = 1e-3,
+    labeled: Optional[jnp.ndarray] = None,
 ):
-    """Weighted ELBO + metric-loss finetuning as one jitted scan."""
+    """Weighted ELBO + metric-loss finetuning as one jitted scan.
+
+    ``labeled`` (B,) restricts the metric loss to rows with a real
+    black-box value — the T-LBO **semi-supervised** mode (reference
+    robust_opt_scripts/robust_opt_*.py ``--semi-supervised``: the VAE is
+    retrained on labeled + unlabeled structures, while value-dependent
+    terms see only the labeled subset).  Default: every weighted row.
+    """
     opt = optax.adam(lr)
+    metric_mask = (weights > 0) if labeled is None else (labeled & (weights > 0))
 
     def loss_fn(p, k):
         out, mu, log_sigma = model.apply({"params": p}, X, k)
@@ -150,7 +159,7 @@ def train_vae(
             jnp.exp(2 * log_sigma) + mu**2 - 1.0 - 2 * log_sigma, axis=-1
         )
         elbo_term = jnp.mean(weights * (rec + beta * kl))
-        m = metric_loss(mu, y, mask=weights > 0)
+        m = metric_loss(mu, y, mask=metric_mask)
         return elbo_term + metric_weight * m
 
     def step(carry, _):

@@ -34,22 +34,50 @@ __all__ = ["TransformerNP", "meta_train_np", "NAPSurrogate", "sample_gp_tasks"]
 
 class TransformerNP(nn.Module):
     """Masked transformer: context tokens embed (x, y); query tokens embed
-    (x, 0) and may only attend to context tokens."""
+    (x, 0) and may only attend to context tokens.
+
+    Mixed spaces (``cat_dims`` non-empty) embed each categorical column
+    with a learned per-column table before the token projection — the
+    reference's ``MixedTypeTransformerModel``
+    (NAP/nap/policies/transformer.py, mixed-type variant)."""
 
     dim_x: int
     d_model: int = 64
     n_heads: int = 4
     n_layers: int = 3
+    cat_dims: Tuple[int, ...] = ()
+    num_categories: Tuple[int, ...] = ()
 
     @nn.compact
     def __call__(self, Xc, yc, Xq, ctx_mask):
         """Xc (B, Nc, dx), yc (B, Nc, 1), Xq (B, Nq, dx),
-        ctx_mask (B, Nc) → (mu, log_sigma) each (B, Nq, 1)."""
+        ctx_mask (B, Nc) → (mu, log_sigma) each (B, Nq, 1).
+        Categorical columns of X hold integer codes (as floats)."""
         B, Nc, _ = Xc.shape
         Nq = Xq.shape[1]
-        emb_c = nn.Dense(self.d_model)(jnp.concatenate([Xc, yc], axis=-1))
+        if self.cat_dims:
+            embeds = [
+                nn.Embed(c, min(8, 1 + c // 2), name=f"cat_emb{i}")
+                for i, c in enumerate(self.num_categories)
+            ]
+            cat_set = set(self.cat_dims)
+            num_idx = tuple(j for j in range(self.dim_x) if j not in cat_set)
+
+            def feat(X):
+                parts = [X[..., num_idx]] if num_idx else []
+                for e, j in zip(embeds, self.cat_dims):
+                    parts.append(e(X[..., j].astype(jnp.int32)))
+                return jnp.concatenate(parts, axis=-1)
+
+        else:
+            feat = lambda X: X  # noqa: E731
+        emb_c = nn.Dense(self.d_model)(
+            jnp.concatenate([feat(Xc), yc], axis=-1)
+        )
         emb_q = nn.Dense(self.d_model)(
-            jnp.concatenate([Xq, jnp.zeros((B, Nq, 1), Xq.dtype)], axis=-1)
+            jnp.concatenate(
+                [feat(Xq), jnp.zeros((B, Nq, 1), Xq.dtype)], axis=-1
+            )
         )
         h = jnp.concatenate([emb_c, emb_q], axis=1)  # (B, Nc+Nq, d)
 
@@ -74,16 +102,34 @@ class TransformerNP(nn.Module):
         return mu, log_sigma
 
 
-def sample_gp_tasks(key, batch, n_points, dim_x, dtype=jnp.float32):
+def sample_gp_tasks(
+    key, batch, n_points, dim_x, dtype=jnp.float32,
+    cat_dims=(), num_categories=(),
+):
     """Draw random smooth functions (RBF GP samples with random
-    lengthscale/scale) on random X — the meta-training distribution."""
-    kx, kl, kf, kn = jax.random.split(key, 4)
+    lengthscale/scale) on random X — the meta-training distribution.
+
+    With ``cat_dims`` set, those columns carry integer codes and the
+    sample kernel uses a Hamming (overlap) distance on them — mixed-type
+    meta-tasks for the MixedTypeTransformerModel analogue."""
+    kx, kl, kf, kn, kc = jax.random.split(key, 5)
     X = jax.random.uniform(kx, (batch, n_points, dim_x), dtype, -1.0, 1.0)
+    if cat_dims:
+        for j, c in zip(cat_dims, num_categories):
+            kc, kj = jax.random.split(kc)
+            codes = jax.random.randint(kj, (batch, n_points), 0, c)
+            X = X.at[:, :, j].set(codes.astype(dtype))
     log_ls = jax.random.uniform(kl, (batch, 1, 1, 1), dtype, -1.5, 0.5)
     ls = jnp.exp(log_ls)
-    d2 = jnp.sum(
-        (X[:, :, None, :] - X[:, None, :, :]) ** 2, axis=-1, keepdims=True
-    )
+    diff = X[:, :, None, :] - X[:, None, :, :]
+    if cat_dims:
+        is_cat = jnp.zeros((dim_x,), bool).at[jnp.asarray(cat_dims)].set(True)
+        d2 = jnp.sum(
+            jnp.where(is_cat, (jnp.abs(diff) > 1e-6).astype(dtype), diff**2),
+            axis=-1, keepdims=True,
+        )
+    else:
+        d2 = jnp.sum(diff**2, axis=-1, keepdims=True)
     K = jnp.exp(-0.5 * d2[..., 0] / ls[..., 0] ** 2) + 1e-4 * jnp.eye(n_points)
     L = jnp.linalg.cholesky(K)
     f = jnp.einsum("bij,bj->bi", L, jax.random.normal(kf, (batch, n_points), dtype))
@@ -103,8 +149,11 @@ def meta_train_np(
 ):
     """PFN objective: NLL of held-out points given a random-size context."""
     dim_x = model.dim_x
+    cat_kw = dict(
+        cat_dims=model.cat_dims, num_categories=model.num_categories
+    )
     k0, key = jax.random.split(key)
-    Xd, yd = sample_gp_tasks(k0, 1, n_points, dim_x)
+    Xd, yd = sample_gp_tasks(k0, 1, n_points, dim_x, **cat_kw)
     params = model.init(
         k0, Xd[:, :min_ctx], yd[:, :min_ctx], Xd[:, min_ctx:],
         jnp.ones((1, min_ctx), bool),
@@ -115,14 +164,14 @@ def meta_train_np(
     def run(params, key):
         def loss_fn(p, k):
             k1, k2 = jax.random.split(k)
-            X, y = sample_gp_tasks(k1, batch, n_points, dim_x)
+            X, y = sample_gp_tasks(k1, batch, n_points, dim_x, **cat_kw)
             nc = jax.random.randint(k2, (), min_ctx, n_points - 4)
             ctx_mask = (
                 jnp.arange(n_points - 4)[None, :] < nc
             ) & jnp.ones((batch, 1), bool)
             Xc, yc = X[:, : n_points - 4], y[:, : n_points - 4]
             Xq, yq = X[:, n_points - 4 :], y[:, n_points - 4 :]
-            mu, log_sigma = model.apply(params, Xc, yc * ctx_mask[..., None], Xq, ctx_mask)
+            mu, log_sigma = model.apply(p, Xc, yc * ctx_mask[..., None], Xq, ctx_mask)
             nll = 0.5 * (
                 ((yq - mu) / jnp.exp(log_sigma)) ** 2
                 + 2 * log_sigma
@@ -167,10 +216,22 @@ class NAPSurrogate(BaseModel):
         self.meta_steps = conf.get("meta_steps", 300)
         self._seed = conf.get("seed", 0)
         self.dim_x = space.num_cols
-        self.model = TransformerNP(
-            dim_x=self.dim_x, d_model=self.d_model, n_layers=self.n_layers
+        cat_dims = tuple(int(c) for c in space.cat_dims)
+        num_cats = tuple(
+            int(space.num_categories[c]) for c in space.cat_dims
         )
-        ck = (self.dim_x, self.d_model, self.n_layers, self.meta_steps)
+        self.model = TransformerNP(
+            dim_x=self.dim_x, d_model=self.d_model, n_layers=self.n_layers,
+            cat_dims=cat_dims, num_categories=num_cats,
+        )
+        # numeric-column mask: cat codes bypass the [-1, 1] normalization
+        self._num_mask = np.ones((self.dim_x,), bool)
+        if cat_dims:
+            self._num_mask[list(cat_dims)] = False
+        ck = (
+            self.dim_x, self.d_model, self.n_layers, self.meta_steps,
+            cat_dims, num_cats,
+        )
         if ck not in NAPSurrogate._pretrained:
             params, _ = meta_train_np(
                 self.model, jax.random.PRNGKey(42), n_steps=self.meta_steps
@@ -184,16 +245,21 @@ class NAPSurrogate(BaseModel):
         y = np.asarray(y, np.float32).reshape(len(X), 1)
         ok = np.isfinite(y[:, 0])
         X, y = X[ok], y[ok]
-        lb, ub = self.space.opt_lb, self.space.opt_ub
-        Xn = (2 * (X - lb) / np.maximum(ub - lb, 1e-9) - 1).astype(np.float32)
+        Xn = self._normalize_np(X)
         mu_y, sd_y = float(y.mean()), max(float(y.std()), 1e-8)
         self._ctx = (Xn, (y - mu_y) / sd_y, mu_y, sd_y)
         return self
 
+    def _normalize_np(self, X):
+        lb, ub = self.space.opt_lb, self.space.opt_ub
+        Xn = 2 * (np.asarray(X, np.float32) - lb) / np.maximum(ub - lb, 1e-9) - 1
+        return np.where(self._num_mask, Xn, np.asarray(X, np.float32)).astype(
+            np.float32
+        )
+
     def predict(self, X):
         Xn_c, yn_c, mu_y, sd_y = self._ctx
-        lb, ub = self.space.opt_lb, self.space.opt_ub
-        Xq = (2 * (np.asarray(X, np.float32) - lb) / np.maximum(ub - lb, 1e-9) - 1)
+        Xq = self._normalize_np(X)
         mu, log_sigma = self.model.apply(
             self.params,
             jnp.asarray(Xn_c)[None],
@@ -222,6 +288,7 @@ class NAPSurrogate(BaseModel):
         lb = jnp.asarray(self.space.opt_lb, jnp.float32)
         ub = jnp.asarray(self.space.opt_ub, jnp.float32)
         Xq = 2 * (Xs - lb) / jnp.maximum(ub - lb, 1e-9) - 1
+        Xq = jnp.where(jnp.asarray(self._num_mask), Xq, Xs)
         mu, log_sigma = self.model.apply(
             params, Xn_c[None], yn_c[None], Xq[None],
             jnp.ones((1, Xn_c.shape[0]), bool),

@@ -28,7 +28,33 @@ import optax
 
 from .nap import TransformerNP, sample_gp_tasks
 
-__all__ = ["NAPPolicy", "ppo_train", "rollout_episodes"]
+__all__ = ["NAPPolicy", "ppo_train", "rollout_episodes", "filter_action_logits"]
+
+
+def filter_action_logits(logits, top_k: int = 0, top_p: float = 1.0):
+    """NAP-style top-k / nucleus (top-p) filtering of acquisition logits.
+
+    Parity: the NAP policy's action filtering (reference
+    NAP/nap/policies/nap.py:42-255 filters the acquisition logits with
+    top-k and top-p before sampling).  ``top_k=0`` / ``top_p=1.0`` disable
+    the respective filter.  Filtered entries are driven to -1e9 so
+    ``jax.random.categorical`` never samples them; the argmax entry is
+    always kept.  Pure and jit-safe (``top_k``/``top_p`` are static).
+    """
+    neg = jnp.asarray(-1e9, logits.dtype)
+    if top_k and top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[..., -int(top_k)][..., None]
+        logits = jnp.where(logits < kth, neg, logits)
+    if top_p < 1.0:
+        srt = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(srt, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep_sorted = (cum - probs) < top_p  # smallest prefix reaching top_p
+        thr = jnp.min(
+            jnp.where(keep_sorted, srt, jnp.inf), axis=-1, keepdims=True
+        )
+        logits = jnp.where(logits < thr, neg, logits)
+    return logits
 
 
 class NAPPolicy(nn.Module):
@@ -76,7 +102,8 @@ class Transitions(NamedTuple):
 
 
 def rollout_episodes(
-    policy: NAPPolicy, params, key, *, batch: int, n_cand: int, horizon: int
+    policy: NAPPolicy, params, key, *, batch: int, n_cand: int, horizon: int,
+    top_k: int = 0, top_p: float = 1.0,
 ):
     """Vectorized BO episodes on freshly sampled GP tasks.
 
@@ -94,6 +121,7 @@ def rollout_episodes(
         )
         # mask out already-observed candidates
         logits = jnp.where(obs_mask, -1e9, logits)
+        logits = filter_action_logits(logits, top_k=top_k, top_p=top_p)
         a = jax.random.categorical(k, logits)  # (B,)
         logp = jax.nn.log_softmax(logits)[jnp.arange(batch), a]
         y_a = y_flat[jnp.arange(batch), a]
