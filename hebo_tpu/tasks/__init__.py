@@ -12,3 +12,6 @@ from .bayesmark import BayesmarkTask
 from .ml_tuning import SVMTuningTask, XGBTuningTask
 from .highdim import NASBenchTask, LPSolveTask, parse_mps
 from .antbo_tools import AbsolutTool, TableFillingTool, ManualTool, AA_ALPHABET
+from .robust import (
+    RKHSTask, RobotPushTask, CorruptedTask, UncertainEvalWrapper, rkhs_synth,
+)
