@@ -15,3 +15,4 @@ from .antbo_tools import AbsolutTool, TableFillingTool, ManualTool, AA_ALPHABET
 from .robust import (
     RKHSTask, RobotPushTask, CorruptedTask, UncertainEvalWrapper, rkhs_synth,
 )
+from .drills import DrillsBaseline

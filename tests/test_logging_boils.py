@@ -73,3 +73,16 @@ def test_hpob_tabular_snap_and_bo():
         rec = opt.suggest(4)
         opt.observe(rec, task(rec))
     assert task.regret(np.array([opt.best_y]))[0] >= -1e-9
+
+
+def test_drills_baseline_trains():
+    from hebo_tpu.tasks.boils import BoilsTask
+    from hebo_tpu.tasks.drills import DrillsBaseline
+
+    task = BoilsTask(seq_len=4)
+    agent = DrillsBaseline(task, seed=0)
+    out = agent.train(n_episodes=4)
+    assert len(out["qor_trace"]) == 4
+    assert out["best_qor"] <= 2.0 + 1e-9  # never worse than doing nothing
+    assert len(out["best_seq"]) == 4
+    assert all(op in task.operators for op in out["best_seq"])
