@@ -16,7 +16,10 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -79,10 +82,14 @@ def bench_hmc(mesh, core, data, pf, n_chains=8, n_samples=32, reps=3):
     return n_chains * (32 + n_samples) / dt, dt
 
 
-def bench_hebo_suggest(mesh, reps=3):
+def bench_hebo_suggest(mesh, reps=3, n_dev=1):
     space, X, y = _gp_problem()
+    # HEBO(mesh) shards n_restarts×n_dev chains; keep TOTAL restart work
+    # fixed (8 chains) across mesh sizes so the overhead metric compares
+    # equal work
     kw = dict(pop=64, iters=32, migrate_every=8,
-              model_config={"num_epochs": 30, "n_restarts": 1})
+              model_config={"num_epochs": 30,
+                            "n_restarts": max(1, 8 // n_dev)})
     opt = HEBO(space, mesh=mesh, **kw) if mesh is not None else HEBO(space, **kw)
     opt.observe(space.inverse_transform(space.transform(
         space.sample(64, seed=0))), y)
@@ -108,7 +115,7 @@ def main():
         mesh = Mesh(np.array(devs[:n]), ("shard",))
         smc_sps, smc_dt = bench_smc(mesh, core, data)
         hmc_sps, hmc_dt = bench_hmc(mesh, core, data, pf)
-        sug_dt = bench_hebo_suggest(mesh if n > 1 else None)
+        sug_dt = bench_hebo_suggest(mesh if n > 1 else None, n_dev=n)
         rows.append({
             "devices": n,
             "smc_particle_stages_per_s": round(smc_sps, 1),
@@ -120,20 +127,38 @@ def main():
         print(rows[-1], flush=True)
 
     base = rows[0]
+    on_cpu = jax.default_backend() == "cpu"
     for r in rows:
-        r["smc_scaling_eff"] = round(
-            r["smc_particle_stages_per_s"]
-            / (base["smc_particle_stages_per_s"] * r["devices"]), 3)
-        r["hmc_scaling_eff"] = round(
-            r["hmc_transitions_per_s"]
-            / (base["hmc_transitions_per_s"] * r["devices"]), 3)
+        if on_cpu:
+            # Virtual CPU devices SHARE the same physical cores: total
+            # compute does not grow with N, so throughput/N is 1/N even
+            # for a perfect implementation.  The honest fixed-work metric
+            # here is partition overhead — wall_N / wall_1 (ideal 1.0):
+            # the extra cost of running the same total work as N sharded
+            # programs with collectives instead of one program.
+            r["smc_partition_overhead"] = round(
+                r["smc_wall_s"] / base["smc_wall_s"], 3)
+            r["hmc_partition_overhead"] = round(
+                r["hmc_wall_s"] / base["hmc_wall_s"], 3)
+            r["suggest_partition_overhead"] = round(
+                r["hebo_suggest_s"] / base["hebo_suggest_s"], 3)
+        else:
+            r["smc_scaling_eff"] = round(
+                r["smc_particle_stages_per_s"]
+                / (base["smc_particle_stages_per_s"] * r["devices"]), 3)
+            r["hmc_scaling_eff"] = round(
+                r["hmc_transitions_per_s"]
+                / (base["hmc_transitions_per_s"] * r["devices"]), 3)
 
     out = {
         "backend": jax.default_backend(),
         "n_devices_visible": len(devs),
         "note": (
-            "virtual CPU devices measure functional scaling shape only; "
-            "true ICI scaling requires a real slice"
+            "virtual CPU devices share physical cores, so speedup is not "
+            "measurable — partition_overhead (wall_N/wall_1 at fixed total "
+            "work, ideal 1.0) isolates the cost of sharding + collectives; "
+            "true ICI scaling_eff requires a real slice (then this script "
+            "reports throughput/(t1*N) instead)"
         ),
         "rows": rows,
     }

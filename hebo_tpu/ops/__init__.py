@@ -1,1 +1,1 @@
-from . import chol, pareto, transforms
+from . import block_chol, cg, chol, pareto, transforms
