@@ -130,6 +130,20 @@ def main():
     )
     mfu = flops / value / (PEAK_TFLOPS * 1e12)
 
+    # ---------------- larger-N bucket (VERDICT r1 weak #3) ---------------
+    # 600 seed points land in the 1024 pad bucket: same program shape,
+    # 4x the Cholesky size — measures how suggest latency grows with N
+    task_big = Ackley(dim=6)
+    opt_big = HEBO(task_big.space)
+    init = opt_big.quasi_sample(600)
+    opt_big.observe(init, task_big(init))
+    t0 = time.time()
+    rec = opt_big.suggest(8)  # includes any bucket-compile (cached: none)
+    first_1024_s = time.time() - t0
+    opt_big.observe(rec, task_big(rec))
+    big_times = _suggest_times(opt_big, task_big, n=3)
+    big_value = float(np.median(big_times))
+
     # ---------------- like-for-like categorical space -------------------
     cat_space = DesignSpace().parse(
         [{"name": f"p{i}", "type": "cat",
@@ -173,6 +187,8 @@ def main():
             "vs_reference_csv_7.8s": round(
                 BASELINES["reference_antigen_csv_s"] / cat_value, 2
             ),
+            "suggest_n600_bucket1024_s": round(big_value, 4),
+            "first_bucket1024_suggest_s": round(first_1024_s, 4),
             "fit_s": round(fit_s, 4),
             "evolve_plus_transfer_s": round(evolve_s, 4),
             "gp_fit_steps_per_s": round(gp_fit_steps_per_s, 1),

@@ -26,9 +26,18 @@ def run_experiment(
     save_path: Optional[str] = None,
     checkpoint_path: Optional[str] = None,
     verbose: bool = False,
+    stopping_y: Optional[float] = None,
 ) -> ResultsLogger:
+    """Ask/tell driver loop.
+
+    ``stopping_y``: RDUCB ``BOStopper`` semantics (reference
+    RDUCB/hdbo/myBOModular.py:17-80 — the loop terminates as soon as the
+    incumbent reaches the target value) — stop early once
+    best-y ≤ stopping_y."""
     logger = ResultsLogger(save_path=save_path)
     while len(logger.rows) < max_evals:
+        if stopping_y is not None and logger._best <= stopping_y:
+            break
         n = min(batch, max_evals - len(logger.rows))
         t0 = time.time()
         rec = optimizer.suggest(n)
@@ -86,7 +95,7 @@ class BOExperiments:
         self.optimizer = cfg.build(self.space)
 
     def run(self, max_evals: int = 64, batch: int = 4, resume: bool = False,
-            verbose: bool = False) -> ResultsLogger:
+            verbose: bool = False, stopping_y=None) -> ResultsLogger:
         import os
 
         from .checkpoint import load_optimizer
@@ -101,5 +110,5 @@ class BOExperiments:
         return run_experiment(
             self.task, self.optimizer, max_evals=max_evals, batch=batch,
             save_path=self.csv_path, checkpoint_path=self.ckpt_path,
-            verbose=verbose,
+            verbose=verbose, stopping_y=stopping_y,
         )

@@ -79,3 +79,26 @@ def test_run_experiment(tmp_path):
     assert (tmp_path / "exp.csv").exists()
     assert (tmp_path / "exp_ckpt.pkl").exists()
     assert lg.frame["Best y"].is_monotonic_decreasing
+
+
+def test_run_experiment_stopping_y():
+    """RDUCB BOStopper semantics: terminate when the target y is reached."""
+    import numpy as np
+
+    from hebo_tpu import DesignSpace
+    from hebo_tpu.optimizers.baselines import RandomSearch
+    from hebo_tpu.utils.experiment import run_experiment
+
+    space = DesignSpace(
+        [{"name": "x", "type": "num", "lb": -1.0, "ub": 1.0}]
+    )
+
+    def task(df):
+        return df[["x"]].values.astype(float) ** 2
+
+    opt = RandomSearch(space)
+    logger = run_experiment(task, opt, max_evals=64, batch=4,
+                            stopping_y=0.5)
+    # x²≤0.5 has 70% mass per draw — stops long before the 64-eval budget
+    assert len(logger.rows) < 64
+    assert logger._best <= 0.5
