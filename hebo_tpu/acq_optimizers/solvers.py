@@ -48,10 +48,14 @@ def grid_solver(
 
 
 @partial(jax.jit, static_argnames=("f", "n_iters", "history"))
-def _lbfgs_batch(f, X0, lb, ub, n_iters: int, history: int):
-    """Vmapped projected L-BFGS: X0 (B, D) starts advance in lockstep."""
+def _lbfgs_batch(f, args, X0, lb, ub, n_iters: int, history: int):
+    """Vmapped projected L-BFGS: X0 (B, D) starts advance in lockstep.
+
+    ``f(args, X (B, D)) -> (B, 1)``; ``args`` is a traced pytree (model
+    state, acquisition params, …) so refits reuse the compiled program
+    instead of baking fresh constants into a new executable per call."""
     B, D = X0.shape
-    g_fn = jax.vmap(jax.grad(lambda x: f(x[None, :])[0, 0]))
+    g_fn = jax.vmap(jax.grad(lambda x: f(args, x[None, :])[0, 0]))
 
     def project(X):
         return jnp.clip(X, lb[None, :], ub[None, :])
@@ -94,11 +98,11 @@ def _lbfgs_batch(f, X0, lb, ub, n_iters: int, history: int):
         Z = jax.vmap(two_loop)(G, S, Y, rho)
 
         # backtracking line search on the projected path (batched)
-        f_cur = f(X)[:, 0]
+        f_cur = f(args, X)[:, 0]
 
         def try_step(t):
             Xn = project(X - t * Z)
-            return Xn, f(Xn)[:, 0]
+            return Xn, f(args, Xn)[:, 0]
 
         ts = jnp.asarray([1.0, 0.3, 0.1, 0.03, 0.01], jnp.float32)
         Xs_all, fs_all = jax.vmap(try_step)(ts)  # (T, B, D), (T, B)
@@ -128,7 +132,7 @@ def _lbfgs_batch(f, X0, lb, ub, n_iters: int, history: int):
     (Xf, _, _, _, _), fs = lax.scan(
         step, (project(X0), S0, Y0, rho0, jnp.asarray(0)), jnp.arange(n_iters)
     )
-    return Xf, f(Xf)[:, 0]
+    return Xf, f(args, Xf)[:, 0]
 
 
 def multi_start_lbfgs(
@@ -138,15 +142,36 @@ def multi_start_lbfgs(
     ub,
     n_iters: int = 30,
     history: int = 8,
+    args=None,
 ) -> Tuple[np.ndarray, float]:
-    """Minimize ``f`` from many starts with one batched program.
+    """Minimize from many starts with one batched program.
 
-    ``f(X (B, D)) -> (B, 1)`` must be jax-differentiable (an acquisition's
-    ``eval_pure`` closure).  Returns the best (x, f(x)) over all starts —
-    the contract of febo ``fmin_multipoint_l_bfgs_b``."""
+    Two call forms (contract of febo ``fmin_multipoint_l_bfgs_b``):
+
+    * ``f(X (B, D)) -> (B, 1)`` — simple jax-differentiable callable;
+    * ``f(args, X) -> (B, 1)`` with ``args`` a traced pytree — pass the
+      model state/acq params here so repeated calls (one per BO
+      iteration) hit the SAME compiled executable instead of retracing
+      with fresh baked-in constants (jit keys on ``f``'s identity, so
+      ``f`` must be stable across calls — memoize closures per model,
+      as EvolutionOpt does).
+    """
+    if args is None:
+        # memoize the adapter ON the function so repeated calls with the
+        # same f reuse one jit trace (cycle f→wrapper→f is GC-collectable)
+        wrapped = getattr(f, "_msl_wrapped", None)
+        if wrapped is None:
+            def wrapped(a, X, _f=f):
+                return _f(X)
+
+            try:
+                f._msl_wrapped = wrapped
+            except AttributeError:
+                pass
+        f, args = wrapped, ()
     X0 = jnp.asarray(X0, jnp.float32)
     lb = jnp.asarray(lb, jnp.float32)
     ub = jnp.asarray(ub, jnp.float32)
-    Xf, fv = _lbfgs_batch(f, X0, lb, ub, int(n_iters), int(history))
+    Xf, fv = _lbfgs_batch(f, args, X0, lb, ub, int(n_iters), int(history))
     i = int(jnp.argmin(fv))
     return np.asarray(Xf[i]), float(fv[i])

@@ -66,6 +66,30 @@ class SubDomainBO(AbstractOptimizer):
         self.model = None
 
     # ------------------------------------------------------------- helpers
+    def _lbfgs_eval_fns(self):
+        """Stable (f_box, f_line) closures for multi_start_lbfgs.
+
+        Memoized per model identity so the jitted L-BFGS program (which
+        keys its trace cache on the callable) is compiled once and reused
+        across every refit — model state travels through ``args``."""
+        cache = getattr(self, "_lbfgs_cache", None)
+        if cache is not None and cache[0] is self.model:
+            return cache[1], cache[2]
+        model = self.model
+        acq = LCB()
+
+        def f_box(args, Xc):
+            st, pr = args
+            return acq.eval_pure(model, st, pr, Xc)
+
+        def f_line(args, T):  # T (B, 1) line parameter
+            st, pr, x0, d = args
+            Xc = x0[None, :] + T * d[None, :]
+            return acq.eval_pure(model, st, pr, Xc)
+
+        self._lbfgs_cache = (model, f_box, f_line)
+        return f_box, f_line
+
     def _lb_ub(self):
         return self.space.opt_lb.astype(float), self.space.opt_ub.astype(float)
 
@@ -123,6 +147,7 @@ class SubDomainBO(AbstractOptimizer):
         state = self.model.state
         acq = LCB()
         params = AcqParams(kappa=jnp.float32(self.kappa), tau=jnp.float32(tau))
+        f_box, f_line = self._lbfgs_eval_fns()
 
         def acq_f(Xc):
             return acq.eval_pure(self.model, state, params, jnp.asarray(Xc, jnp.float32))
@@ -141,7 +166,9 @@ class SubDomainBO(AbstractOptimizer):
                 x_grid,
                 self.rng.uniform(tlb, tub, (7, len(lb))),
             ])
-            x_best, _ = multi_start_lbfgs(acq_f, X0, tlb, tub, n_iters=20)
+            x_best, _ = multi_start_lbfgs(
+                f_box, X0, tlb, tub, n_iters=20, args=(state, params)
+            )
             return self.space.inverse_transform(x_best[None, :])
 
         # ------- line modes: 1-D subdomain through the incumbent --------
@@ -167,15 +194,13 @@ class SubDomainBO(AbstractOptimizer):
             ts[i] + np.asarray([-0.02, 0.0, 0.02]) * (t_hi - t_lo), t_lo, t_hi
         )
 
-        def acq_t(T):  # T (B, 1)
-            Xc = jnp.asarray(x0, jnp.float32)[None, :] + T * jnp.asarray(
-                d, jnp.float32
-            )[None, :]
-            return acq.eval_pure(self.model, state, params, Xc)
-
         t_best, v_best = multi_start_lbfgs(
-            acq_t, t_starts[:, None], np.asarray([t_lo]), np.asarray([t_hi]),
+            f_line, t_starts[:, None], np.asarray([t_lo]), np.asarray([t_hi]),
             n_iters=15,
+            args=(
+                state, params,
+                jnp.asarray(x0, jnp.float32), jnp.asarray(d, jnp.float32),
+            ),
         )
         x_new = np.clip(x0 + float(t_best[0]) * d, lb, ub)
 
