@@ -35,7 +35,7 @@ def run_one(task_name, base_task, input_std, model_name, seed, n_iters=10, batch
         conf["input_std"] = input_std
     opt = HEBO(
         base_task.space, model_name=model_name, rand_sample=8,
-        model_config=conf, pop=32, iters=16, seed=seed,
+        model_config=conf, pop=32, iters=16, scramble_seed=seed,
     )
     for _ in range(n_iters):
         rec = opt.suggest(batch)
@@ -45,7 +45,7 @@ def run_one(task_name, base_task, input_std, model_name, seed, n_iters=10, batch
     return float(np.asarray(base_task(best_rec)).ravel()[0])
 
 
-def main(seeds=6):
+def main(seeds=4):
     tasks = {
         "rkhs_std0.05": (RKHSTask(), 0.05),
         "push3_std0.03": (RobotPushTask(dim=3), 0.03),
