@@ -35,11 +35,16 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite is compile-dominated (each
 # (pop, D, bucket) shape combination compiles once); caching makes reruns
-# and CI invocations fast.
+# and CI invocations fast.  HEBO_TPU_DISABLE_COMPILE_CACHE=1 turns it off
+# — the cache's zstd/deserialize path has segfaulted late in the
+# ~245-extension-module full-suite process (crash inside
+# get/put_executable_and_time; every entry reads fine in a fresh
+# process), so this escape hatch isolates the suite from that path.
 _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-try:
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-except Exception:
-    pass
+if os.environ.get("HEBO_TPU_DISABLE_COMPILE_CACHE") != "1":
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
