@@ -48,3 +48,23 @@ if os.environ.get("HEBO_TPU_DISABLE_COMPILE_CACHE") != "1":
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_live_executables():
+    """Free compiled executables between test modules.
+
+    XLA's CPU ``serialize/deserialize_executable`` has segfaulted late in
+    the full-suite process (hundreds of live LoadedExecutables across
+    ~245 loaded C extensions; the same entries (de)serialize fine in a
+    fresh process).  Clearing jit caches per module bounds the number of
+    live executables; the persistent disk cache makes the resulting
+    recompiles cheap reloads.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
