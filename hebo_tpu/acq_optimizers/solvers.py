@@ -14,6 +14,7 @@ iteration is one batched (f, ∇f) evaluation on device; no scipy Fortran.
 
 from __future__ import annotations
 
+import weakref
 from functools import partial
 from typing import Callable, Tuple
 
@@ -23,6 +24,48 @@ import numpy as np
 from jax import lax
 
 __all__ = ["candidate_solver", "grid_solver", "multi_start_lbfgs"]
+
+# adapter memoization for the legacy f(X)->y call form: keyed weakly on the
+# underlying function (and, for bound methods, the instance) so repeated
+# calls reuse ONE jit trace without writing attributes onto caller-owned
+# callables (ADVICE r2).  Values hold no strong refs back to the key.
+_WRAP_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _memo_wrap(f: Callable) -> Callable:
+    """``f(X)->y``  →  ``wrapped(args, X)->y``, memoized.
+
+    Bound methods are a fresh object per attribute access, so the cache is
+    anchored on ``f.__self__`` (weakly) with the underlying ``__func__`` as
+    sub-key; plain functions anchor on themselves.  Non-weakrefable
+    callables fall back to an unmemoized wrapper (they retrace — same as
+    before, minus the attribute mutation)."""
+    base = getattr(f, "__func__", f)
+    self_obj = getattr(f, "__self__", None)
+    anchor = self_obj if self_obj is not None else base
+    try:
+        per = _WRAP_CACHE.get(anchor)
+    except TypeError:
+        per = None
+        anchor = None
+    if anchor is None:
+
+        def wrapped(a, X, _f=f):
+            return _f(X)
+
+        return wrapped
+    if per is None:
+        per = {}
+        _WRAP_CACHE[anchor] = per
+    wrapped = per.get(base)
+    if wrapped is None:
+        sref = weakref.ref(self_obj) if self_obj is not None else None
+
+        def wrapped(a, X, _base=base, _sref=sref):
+            return _base(X) if _sref is None else _base(_sref(), X)
+
+        per[base] = wrapped
+    return wrapped
 
 
 def candidate_solver(f: Callable, candidates: np.ndarray) -> Tuple[np.ndarray, float]:
@@ -157,18 +200,7 @@ def multi_start_lbfgs(
       as EvolutionOpt does).
     """
     if args is None:
-        # memoize the adapter ON the function so repeated calls with the
-        # same f reuse one jit trace (cycle f→wrapper→f is GC-collectable)
-        wrapped = getattr(f, "_msl_wrapped", None)
-        if wrapped is None:
-            def wrapped(a, X, _f=f):
-                return _f(X)
-
-            try:
-                f._msl_wrapped = wrapped
-            except AttributeError:
-                pass
-        f, args = wrapped, ()
+        f, args = _memo_wrap(f), ()
     X0 = jnp.asarray(X0, jnp.float32)
     lb = jnp.asarray(lb, jnp.float32)
     ub = jnp.asarray(ub, jnp.float32)

@@ -43,6 +43,10 @@ def filter_action_logits(logits, top_k: int = 0, top_p: float = 1.0):
     """
     neg = jnp.asarray(-1e9, logits.dtype)
     if top_k and top_k > 0:
+        # clamp like the reference (NAP nap.py:23 min(top_k, n)) so a
+        # top_k larger than the action dimension keeps everything instead
+        # of raising at trace time
+        top_k = min(int(top_k), logits.shape[-1])
         kth = jnp.sort(logits, axis=-1)[..., -int(top_k)][..., None]
         logits = jnp.where(logits < kth, neg, logits)
     if top_p < 1.0:

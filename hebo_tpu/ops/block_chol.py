@@ -102,7 +102,18 @@ def block_cholesky_sharded(
     n_dev = int(np.prod(mesh.devices.shape))
     N = K.shape[0]
     assert N % n_dev == 0, (N, n_dev)
-    block = min(block, N // n_dev)
+    if block > N // n_dev:
+        # a block wider than one device's slab cannot be panel-solved
+        # locally; shrink — and say so, because the FLOP/communication
+        # balance changes (ADVICE r2: no silent reduction)
+        import warnings
+
+        warnings.warn(
+            f"block_cholesky_sharded: block={block} > slab rows "
+            f"{N // n_dev}; using effective block={N // n_dev}",
+            stacklevel=2,
+        )
+        block = N // n_dev
     assert N % block == 0, (N, block)
     fn = jax.shard_map(
         partial(

@@ -252,13 +252,21 @@ class HEBO(AbstractOptimizer):
             nd = list(core.numeric_dims)
             D = space.num_cols
 
+            nnd_s = len(nd)
+            n_scal = 2 * nnd_s + 5
+            n_big = n_pad * (D + 2)
+
             @jax.jit
-            def fused(big, scal, init_pop):
-                # unpack: big (Nmax, D+2) = [X | y | mask]; scal (D*2+5,) =
-                # [x_lb, x_span, y_mean, y_std, kappa, eps, seed] — single
-                # transfers keep tunnel round trips at 3 per suggest.
+            def fused(flat):
+                # unpack ONE packed transfer: [big (Nmax,(D+2)) | scal
+                # (2*nnd+5,) | init_pop (pop,D)] — each host→device transfer
+                # costs ~10 ms through the remote tunnel, so the whole
+                # suggest input rides a single array (was 3 transfers).
                 from ..models.gp.gp import GPData
 
+                big = flat[:n_big].reshape(n_pad, D + 2)
+                scal = flat[n_big : n_big + n_scal]
+                init_pop = flat[n_big + n_scal :].reshape(-1, D)
                 Xp = big[:, :D]
                 yp = big[:, D : D + 1]
                 maskp = big[:, D + 1] > 0.5
@@ -350,9 +358,19 @@ class HEBO(AbstractOptimizer):
         ).astype(np.float32)
 
         t0 = time.time()
-        packed_out, data, pf, samples, caches = self._fused[ck](
-            jnp.asarray(big), jnp.asarray(scal), jnp.asarray(init_pop)
-        )
+        if self.mesh is not None:
+            # sharded program keeps the 3-array signature (CPU-mesh tests /
+            # real multi-chip, where the tunnel round trip is not the cost)
+            packed_out, data, pf, samples, caches = self._fused[ck](
+                jnp.asarray(big), jnp.asarray(scal), jnp.asarray(init_pop)
+            )
+        else:
+            flat = np.concatenate(
+                [big.ravel(), scal, init_pop.astype(np.float32).ravel()]
+            )
+            packed_out, data, pf, samples, caches = self._fused[ck](
+                jnp.asarray(flat)
+            )
         out = np.asarray(packed_out)
         dt = time.time() - t0
         self.fit_time.append(dt)  # fused: fit+acq in one program

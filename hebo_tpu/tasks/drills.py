@@ -132,7 +132,11 @@ class DrillsBaseline:
                 depth_r = res[1] / max(d0, 1)
                 new_qor = size_r + depth_r
             else:
-                new_qor = 2.0  # failed synthesis: worst-case normalized QoR
+                # failed synthesis: worst-case normalized QoR; reset the
+                # ratio features too so the next state is consistent with
+                # the reported QoR (ADVICE r2)
+                size_r = depth_r = 1.0
+                new_qor = 2.0
             delta = qor - new_qor
             states.append(s)
             actions.append(a)
