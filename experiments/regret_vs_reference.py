@@ -182,7 +182,29 @@ def main():
         b = np.stack(curves["torch"])
         f_min = TASKS.get(tname, {}).get("f_min", 0.0)
         _, frac = overlap_test(a - f_min, b - f_min)
+        # per-iteration dominance + verdict computed HERE, from the same
+        # arrays the JSON carries (VERDICT r2 weak #4: the artifact must be
+        # reproducible from committed code, and "parity" must require more
+        # than band overlap when one curve dominates at every iteration)
+        jax_leq_frac = float((a.mean(0) <= b.mean(0)).mean())
+        ja, j2 = a[:, -1].mean(), 2 * a[:, -1].std(ddof=1) / np.sqrt(len(a))
+        tb, t2 = b[:, -1].mean(), 2 * b[:, -1].std(ddof=1) / np.sqrt(len(b))
+        if ja + j2 < tb - t2:
+            verdict = "jax_better"
+        elif tb + t2 < ja - j2:
+            verdict = "torch_better"
+        elif frac >= 0.8:
+            if jax_leq_frac >= 0.95:
+                verdict = "parity_jax_leans"
+            elif jax_leq_frac <= 0.05:
+                verdict = "parity_torch_leans"
+            else:
+                verdict = "parity"
+        else:
+            verdict = "mixed"
         results[tname] = {
+            "verdict": verdict,
+            "jax_leq_torch_frac": round(jax_leq_frac, 3),
             "seeds": args.seeds,
             "iters": args.iters,
             "batch": args.batch,

