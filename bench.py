@@ -144,6 +144,54 @@ def main():
     big_times = _suggest_times(opt_big, task_big, n=3)
     big_value = float(np.median(big_times))
 
+    # ---------------- large-N: CG-path fit/predict/suggest --------------
+    # first on-chip numbers above max_cholesky_size (VERDICT r2 missing
+    # #3): N=3600 → bucket 4096 and N=7000 → bucket 8192; fit subsamples
+    # to the dense cap, the posterior/predict run through the pivoted-
+    # Cholesky-preconditioned CG (ops/cg.py).  BENCH_LARGE_N=0 skips.
+    large_n = {}
+    if os.environ.get("BENCH_LARGE_N", "1") != "0":
+        from hebo_tpu.models import get_model
+
+        for n_obs in (3600, 7000):
+            sp = Ackley(dim=6).space
+            rng = np.random.default_rng(0)
+            import pandas as pd
+
+            df = pd.DataFrame(
+                {f"x{i}": rng.uniform(-5, 5, n_obs) for i in range(6)}
+            )
+            yv = (
+                np.sum(df.values**2, axis=1, keepdims=True).astype(np.float32)
+                / 10
+            )
+            mdl = get_model("gp", sp, num_epochs=50)
+            Xv = sp.transform(df)
+            mdl.fit(Xv, yv)  # warm/compile
+            jax.block_until_ready(mdl.caches.alpha)
+            t0 = time.time()
+            mdl.fit(Xv, yv)
+            jax.block_until_ready(mdl.caches.alpha)
+            fit_t = time.time() - t0
+            mdl.predict(Xv[:512])  # warm
+            t0 = time.time()
+            mdl.predict(Xv[:512])
+            pred_t = time.time() - t0
+            large_n[f"gp_fit_n{n_obs}_s"] = round(fit_t, 4)
+            large_n[f"gp_predict512_n{n_obs}_s"] = round(pred_t, 4)
+
+        # HEBO suggest at bucket 4096 (generic path: subsampled fit + CG
+        # posterior + NSGA-II over model predictions)
+        task_ln = Ackley(dim=6)
+        opt_ln = HEBO(task_ln.space)
+        init = opt_ln.quasi_sample(3000)
+        opt_ln.observe(init, task_ln(init))
+        rec = opt_ln.suggest(8)  # warmup/compile
+        opt_ln.observe(rec, task_ln(rec))
+        t0 = time.time()
+        rec = opt_ln.suggest(8)
+        large_n["suggest_n3000_bucket4096_s"] = round(time.time() - t0, 4)
+
     # ---------------- like-for-like categorical space -------------------
     cat_space = DesignSpace().parse(
         [{"name": f"p{i}", "type": "cat",
@@ -195,6 +243,7 @@ def main():
             "acq_evals_per_s": round(acq_evals_per_s, 1),
             "fused_flops_est": int(flops),
             "mfu_at_%dTF" % int(PEAK_TFLOPS): round(mfu, 5),
+            "large_n": large_n,
             "baselines": BASELINES,
         },
     }

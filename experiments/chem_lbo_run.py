@@ -25,7 +25,7 @@ from hebo_tpu.latent.chem import (  # noqa: E402
 )
 
 
-def main(n_iters=12, batch=4, seeds=3):
+def main(n_iters=12, batch=4, seeds=10):
     curves_bo, curves_rs = [], []
     for seed in range(seeds):
         bo = ChemLatentBO(n_init=96, vae_steps=150, retrain_every=4, seed=seed)

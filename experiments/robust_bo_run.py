@@ -45,7 +45,7 @@ def run_one(task_name, base_task, input_std, model_name, seed, n_iters=10, batch
     return float(np.asarray(base_task(best_rec)).ravel()[0])
 
 
-def main(seeds=4):
+def main(seeds=10):
     tasks = {
         "rkhs_std0.05": (RKHSTask(), 0.05),
         "push3_std0.03": (RobotPushTask(dim=3), 0.03),

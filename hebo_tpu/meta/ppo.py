@@ -107,14 +107,19 @@ class Transitions(NamedTuple):
 
 def rollout_episodes(
     policy: NAPPolicy, params, key, *, batch: int, n_cand: int, horizon: int,
-    top_k: int = 0, top_p: float = 1.0,
+    top_k: int = 0, top_p: float = 1.0, task_sampler=None,
 ):
-    """Vectorized BO episodes on freshly sampled GP tasks.
+    """Vectorized BO episodes on freshly sampled tasks.
 
-    Returns transitions + the episode context trace needed to recompute
-    log-probs during PPO updates."""
+    ``task_sampler(key, batch, n_cand, dim_x) -> (X (B,C,D), y (B,C,1))``
+    defaults to synthetic GP tasks; pass a table sampler to meta-train on
+    offline HPO datasets (the reference's HPO-B gym setting,
+    NAP/nap/environment/function_gym_nap.py).  Returns transitions + the
+    episode context trace needed to recompute log-probs during PPO
+    updates."""
     kt, kr = jax.random.split(key)
-    Xall, yall = sample_gp_tasks(kt, batch, n_cand, policy.dim_x)
+    sampler = task_sampler or sample_gp_tasks
+    Xall, yall = sampler(kt, batch, n_cand, policy.dim_x)
     y_flat = yall[..., 0]
     y_min = jnp.min(y_flat, axis=1)  # (B,)
 
@@ -179,11 +184,12 @@ def ppo_train(
     vf_coef: float = 0.5,
     mesh=None,
     axis: str = "dp",
+    task_sampler=None,
 ):
     """PPO loop.  With ``mesh`` set, episodes shard across devices and the
     gradient is psum-reduced (the DDP analog)."""
     k0, key = jax.random.split(key)
-    Xd, yd = sample_gp_tasks(k0, 1, n_cand, policy.dim_x)
+    Xd, yd = (task_sampler or sample_gp_tasks)(k0, 1, n_cand, policy.dim_x)
     params = policy.init(
         k0, Xd, yd, Xd, jnp.ones((1, n_cand), bool)
     )
@@ -194,7 +200,8 @@ def ppo_train(
         if mesh is not None:  # sharded (n_per_device, …) key block
             k = k[0]
         trans, Xall, mean_regret = rollout_episodes(
-            policy, params, k, batch=batch, n_cand=n_cand, horizon=horizon
+            policy, params, k, batch=batch, n_cand=n_cand, horizon=horizon,
+            task_sampler=task_sampler,
         )
         advs, returns = _gae(trans.rewards, trans.values)
         advs = (advs - advs.mean()) / (advs.std() + 1e-8)

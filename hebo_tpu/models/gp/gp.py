@@ -184,9 +184,18 @@ class GPCore:
         self.max_cholesky_size = int(max_cholesky_size)
         self.cg_rank = int(cg_rank)
         self.cg_iters = int(cg_iters)
+        # large-N over a device mesh: when set (GP(mesh=...)), dense
+        # factorizations above max_cholesky_size run as the row-slab
+        # block-sharded Cholesky (ops/block_chol.py) instead of CG — the
+        # SURVEY §5.7 "block-sharded Cholesky when N grows" mesh path
+        self.mesh = None
+        self.mesh_axis = None
 
     def _use_cg(self, n: int) -> bool:
-        return n > self.max_cholesky_size
+        return n > self.max_cholesky_size and self.mesh is None
+
+    def _use_block_sharded(self, n: int) -> bool:
+        return n > self.max_cholesky_size and self.mesh is not None
 
     def _pallas_ssk_on(self) -> bool:
         if self.use_pallas is not None:
@@ -536,6 +545,21 @@ class GPCore:
 
     def posterior_cache(self, params: GPParams, data: GPData) -> GPCache:
         Kt, r = self._train_system(params, data)
+        if self._use_block_sharded(Kt.shape[0]):
+            # mesh large-N: row-slab block-sharded Cholesky across the
+            # devices (ops/block_chol.py — all_gather'd panel, local MXU
+            # trailing updates); the factor is then used by the SAME dense
+            # triangular predict path as the single-device case.  Non-PSD
+            # inputs surface as NaNs → ok=False → unit-Gaussian fallback
+            # (no jitter ladder here: one rung at the scaled base jitter).
+            from ...ops.block_chol import block_cholesky_sharded
+
+            L = block_cholesky_sharded(
+                Kt, self.mesh, axis=self.mesh_axis, jitter=1e-6
+            )
+            ok = jnp.all(jnp.isfinite(L))
+            alpha = jnp.where(ok, chol_solve(L, r), jnp.zeros_like(r))
+            return GPCache(L=L, alpha=alpha, ok=ok)
         if self._use_cg(Kt.shape[0]):
             # large-N: rank-k pivoted-Cholesky preconditioner + block CG;
             # GPCache.L carries the (N, k) preconditioner factor
@@ -721,6 +745,12 @@ class GP(BaseModel):
         # normalization, all_gather systematic resampling)
         self.mesh = conf.get("mesh")
         self._mesh_axis = conf.get("mesh_axis")
+        # thread the mesh into the core so posterior caches above
+        # max_cholesky_size route through the block-sharded Cholesky
+        self.core.mesh = self.mesh
+        self.core.mesh_axis = self._mesh_axis or (
+            self.mesh.axis_names[0] if self.mesh is not None else None
+        )
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
         rup = lambda v: -(-int(v) // n_dev) * n_dev  # round up to mesh multiple
         self.n_chains = rup(conf.get("n_chains", 4)) if self.mesh is not None else conf.get("n_chains", 4)

@@ -127,6 +127,10 @@ def block_cholesky_sharded(
         in_specs=P(axis, None),
         out_specs=P(axis, None),
     )
+    if isinstance(K, jax.core.Tracer):
+        # under jit (e.g. the GP posterior cache): shard_map's in_specs
+        # introduce the resharding; device_put is neither needed nor legal
+        return fn(K)
     return fn(jax.device_put(K, NamedSharding(mesh, P(axis, None))))
 
 

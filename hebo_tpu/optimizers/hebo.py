@@ -127,9 +127,17 @@ class HEBO(AbstractOptimizer):
             2.0 * upsi * ((2.0 + D / 2.0) * math.log(max(t, 1)) + math.log(3 * math.pi**2 / (3 * delta)))
         )
 
+        from ..utils.dtypes import pad_bucket
+
         use_fused = (
             type(self.model).__name__ == "GP"
             and getattr(self.model, "inference", "map") == "map"
+            # above the dense-factorization cap the generic path handles
+            # large N properly (subsampled fit + CG/block-sharded
+            # posterior); the fused program would run dense Cholesky at
+            # the full bucket every pSGLD step
+            and pad_bucket(max(len(Xv), 2))
+            <= self.model.core.max_cholesky_size
         )
         if use_fused:
             pop_X, pop_F, mu_pop, var_pop = self._fused_suggest(
