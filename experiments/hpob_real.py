@@ -281,6 +281,9 @@ def main():
             "ref_random_mean_curve": [round(float(v), 5) for v in ref_rd_m],
             "final_mean_pm_2se": final,
             "final_bands_overlap_repo_gp_vs_ref_gp": bool(overlap),
+            "repo_gp_above_ref_gp": bool(
+                final["repo_gp"][0] > final["ref_gp"][0]
+            ),
             "gp_minus_random_final_gap": {
                 "repo": round(float(gp_m[-1] - rd_m[-1]), 5),
                 "reference": round(float(ref_gp_m[-1] - ref_rd_m[-1]), 5),
