@@ -100,14 +100,17 @@ def make_masked_nll(rungs: tuple, base_jitter: float = 1e-6):
         quad = jnp.sum(r * alpha)
         val = 0.5 * (quad + chol_logdet(L) + n_act * math.log(2.0 * math.pi))
         val = jnp.where(ok, val, jnp.asarray(1e10, Kt.dtype))
-        return val, (L, alpha, ok)
+        # n_act rides along so its zero cotangent inherits the primal's
+        # varying-axis metadata under shard_map (a fresh constant would
+        # not match and trips the custom-VJP vma check)
+        return val, (L, alpha, ok, n_act)
 
     @jax.custom_vjp
     def masked_nll(Kt, r, n_act):
         return _fwd_impl(Kt, r, n_act)[0]
 
     def _bwd(res, g):
-        L, alpha, ok = res
+        L, alpha, ok, n_act = res
         n = L.shape[-1]
         eye = jnp.eye(n, dtype=L.dtype)
         W = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
@@ -117,7 +120,7 @@ def make_masked_nll(rungs: tuple, base_jitter: float = 1e-6):
         G = 0.5 * (Sinv - alpha * alpha.T)  # broadcast outer (exact f32)
         G = jnp.where(ok, G, 0.0) * g
         dr = jnp.where(ok, alpha, 0.0) * g
-        return G, dr, jnp.zeros_like(g)
+        return G, dr, n_act * 0.0
 
     masked_nll.defvjp(lambda Kt, r, n_act: _fwd_impl(Kt, r, n_act), _bwd)
     return masked_nll
