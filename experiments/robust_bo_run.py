@@ -63,6 +63,16 @@ def main(seeds=10):
         row["uncertain_leq_plain"] = bool(
             row["uncertain_gp"]["mean"] <= row["gp"]["mean"] + 1e-9
         )
+        # conclusion only when 2SE bands separate (VERDICT r2 weak #3):
+        # the r2 4-seed "uncertain beats plain" headline did NOT survive
+        # 10 seeds — record whatever the data says
+        a, b = row["uncertain_gp"], row["gp"]
+        if a["mean"] + a["2se"] < b["mean"] - b["2se"]:
+            row["verdict"] = "uncertain_better_separated"
+        elif b["mean"] + b["2se"] < a["mean"] - a["2se"]:
+            row["verdict"] = "plain_better_separated"
+        else:
+            row["verdict"] = "no_separation_at_2se"
         out[tname] = row
         print(tname, row["gp"]["mean"], "vs", row["uncertain_gp"]["mean"], flush=True)
 
