@@ -41,8 +41,8 @@ from experiments.hpob_real import (
 N_SEEDS = int(os.environ.get("HPOB_SEEDS", 5))
 N_INIT = 5
 N_STEPS = int(os.environ.get("HPOB_STEPS", 100))
-SUB_CAND = 256
-TRAIN_ITERS = int(os.environ.get("NAP_ITERS", 60))
+SUB_CAND = 128
+TRAIN_ITERS = int(os.environ.get("NAP_ITERS", 120))
 EVAL_CHUNK = 10
 
 
@@ -77,15 +77,17 @@ def main():
         idx = jax.random.randint(k2, (batch, n_cand), 0, Xtr.shape[1])
         Xb = Xtr[ds[:, None], idx]
         yb = ytr[ds[:, None], idx]
-        mu = yb.mean(axis=1, keepdims=True)
-        sd = yb.std(axis=1, keepdims=True) + 1e-6
+        # normalize by the stats of the first N_INIT entries — the same
+        # observable normalization evaluation uses (train/eval match)
+        mu = yb[:, :N_INIT].mean(axis=1, keepdims=True)
+        sd = yb[:, :N_INIT].std(axis=1, keepdims=True) + 1e-6
         return Xb, ((yb - mu) / sd)[..., None]
 
     policy = NAPPolicy(dim_x=d)
     t0 = time.time()
     params, regrets = ppo_train(
         policy, jax.random.PRNGKey(0),
-        n_iters=TRAIN_ITERS, batch=16, n_cand=64, horizon=16,
+        n_iters=TRAIN_ITERS, batch=16, n_cand=SUB_CAND, horizon=24,
         task_sampler=sampler,
     )
     print(f"meta-train {TRAIN_ITERS} iters in {time.time()-t0:.0f}s; "
@@ -114,7 +116,7 @@ def main():
         B = len(chunk)
         Xb = np.stack([doms[di][cand] for di, _, cand, _ in chunk])
         yb = np.stack([-accs[di][cand] for di, _, cand, _ in chunk])
-        # normalize by init-observation stats (observable at test time)
+        # normalize by init-observation stats (same as training)
         init_vals = np.stack([yb[i, :N_INIT] for i in range(B)])
         mu = init_vals.mean(axis=1, keepdims=True)
         sd = init_vals.std(axis=1, keepdims=True) + 1e-6
