@@ -26,8 +26,15 @@ from hebo_tpu.latent.chem import (  # noqa: E402
 
 
 def main(n_iters=12, batch=4, seeds=10):
+    import jax
+
     curves_bo, curves_rs = [], []
     for seed in range(seeds):
+        # each seed compiles fresh programs (the closure-over-state VAE
+        # retraining path retraces); without this the accumulated JIT
+        # code mappings exhaust the process map budget around seed 3-4
+        # ("LLVM compilation error: Cannot allocate memory")
+        jax.clear_caches()
         bo = ChemLatentBO(n_init=96, vae_steps=150, retrain_every=4, seed=seed)
         curve = [bo.best_y]
         for _ in range(n_iters):
