@@ -9,7 +9,7 @@ and evaluated on the remaining test datasets under the HPO-B protocol
 normalized-accuracy curves, NAP.json leaf schema).
 
 Miniaturization note (documented, not hidden): the policy acts on a
-256-candidate random sub-domain per episode (the miniature
+128-candidate random sub-domain per episode (SUB_CAND) (the miniature
 transformer's context budget), so its curves lower-bound a full-domain
 policy; the GP/Random arms in hpob_vs_reference.json search all 1000
 candidates.  Training normalizes episode y by candidate-table stats;
@@ -169,7 +169,7 @@ def main():
             "n_test_datasets": int(len(te_idx)),
             "sub_domain": SUB_CAND,
             "meta_train_iters": TRAIN_ITERS,
-            "note": "mini NAP on 256-candidate sub-domains; curves "
+            "note": "mini NAP on 128-candidate sub-domains; curves "
                     "lower-bound a full-domain policy",
         },
         "traces": traces,

@@ -24,9 +24,11 @@ cached jitted acq program; the interleaved optimizer additionally uses
 an end-to-end differentiable device program, unlike the reference's
 finite torch graphs re-built per step).
 
-Batch suggestions use distinct top-k candidates rather than the
-reference's Kriging-believer hallucinated refits (model_utils.py:28);
-hallucination support is planned on the model side.
+Batch suggestions here use distinct top-k candidates; the reference's
+Kriging-believer hallucinated refits (model_utils.py:28) are implemented
+at the loop level — ``optimizers/bo_builder.py`` (``batch_strategy="kb"``,
+tested in ``tests/test_parity_utils.py``) — so single-point optimizers
+compose with believer batching without each one re-implementing it.
 """
 
 from __future__ import annotations

@@ -54,17 +54,35 @@ def _memo_wrap(f: Callable) -> Callable:
             return _f(X)
 
         return wrapped
-    if per is None:
-        per = {}
-        _WRAP_CACHE[anchor] = per
-    wrapped = per.get(base)
+    if self_obj is not None:
+        # anchor is the instance (weak); the value is a per-instance dict
+        # keyed on __func__ — the CLASS owns __func__, so those strong
+        # key/closure refs never pin the instance.
+        if per is None:
+            per = {}
+            _WRAP_CACHE[anchor] = per
+        wrapped = per.get(base)
+        if wrapped is None:
+            sref = weakref.ref(self_obj)
+
+            def wrapped(a, X, _base=base, _sref=sref):
+                return _base(_sref(), X)
+
+            per[base] = wrapped
+        return wrapped
+    # plain function: anchor IS base.  Any strong ref from the cached
+    # VALUE back to base (a closure cell, or a dict keyed on base) would
+    # make the WeakKeyDictionary entry immortal, leaking every jit
+    # executable keyed on the wrapper.  Store the wrapper directly and
+    # hold base only weakly.
+    wrapped = per
     if wrapped is None:
-        sref = weakref.ref(self_obj) if self_obj is not None else None
+        fref = weakref.ref(base)
 
-        def wrapped(a, X, _base=base, _sref=sref):
-            return _base(X) if _sref is None else _base(_sref(), X)
+        def wrapped(a, X, _fref=fref):
+            return _fref()(X)
 
-        per[base] = wrapped
+        _WRAP_CACHE[base] = wrapped
     return wrapped
 
 

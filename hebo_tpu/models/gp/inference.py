@@ -116,6 +116,7 @@ class _DAState(NamedTuple):
     log_eps_bar: jnp.ndarray
     h_bar: jnp.ndarray
     t: jnp.ndarray
+    mu: jnp.ndarray  # dual-averaging anchor (Stan re-anchors at mass switch)
 
 
 def _leapfrog(grad_fn, q, p, eps, n_steps, inv_mass):
@@ -164,7 +165,7 @@ def _make_hmc_chain(
         # this kernel runs under shard_map (see shard_map scan-vma docs)
         z = jnp.sum(key).astype(jnp.float32) * 0.0
         da0 = _DAState(
-            jnp.log(init_step) + z, jnp.log(init_step) + z, z, z
+            jnp.log(init_step) + z, jnp.log(init_step) + z, z, z, mu_da + z
         )
         zeros = jax.tree.map(lambda t: jnp.zeros_like(t) + z, q0)
         ones = jax.tree.map(lambda t: jnp.ones_like(t) + z, q0)
@@ -225,19 +226,27 @@ def _make_hmc_chain(
             )
 
             # dual averaging during warmup; frozen after.  At the mass
-            # switch, restart the averaging clock so the step size
-            # re-adapts to the new metric over the last warmup quarter.
+            # switch, restart the averaging clock AND re-anchor mu to the
+            # pre-switch converged step size (Stan sets mu = log(10·eps)
+            # at each window boundary) so the last-quarter re-adaptation
+            # is pulled toward where adaptation converged, not back to
+            # the init-based anchor (ADVICE r3).
             in_warmup = i < n_warmup
             t = jnp.where(at_switch, 1.0, da.t + 1.0)
             h_bar_prev = jnp.where(at_switch, 0.0, da.h_bar)
+            mu = jnp.where(
+                at_switch, jnp.log(10.0) + da.log_eps_bar, da.mu
+            )
             h_bar = (1.0 - 1.0 / (t + t0)) * h_bar_prev + (
                 target_accept - a_prob
             ) / (t + t0)
-            log_eps = mu_da - jnp.sqrt(t) / gamma * h_bar
+            log_eps = mu - jnp.sqrt(t) / gamma * h_bar
             w = t ** (-kappa)
             log_eps_bar = w * log_eps + (1.0 - w) * da.log_eps_bar
-            da_new = _DAState(log_eps, log_eps_bar, h_bar, t)
-            da_frozen = _DAState(da.log_eps_bar, da.log_eps_bar, da.h_bar, da.t)
+            da_new = _DAState(log_eps, log_eps_bar, h_bar, t, mu)
+            da_frozen = _DAState(
+                da.log_eps_bar, da.log_eps_bar, da.h_bar, da.t, da.mu
+            )
             da = jax.tree.map(
                 lambda n, f: jnp.where(in_warmup, n, f), da_new, da_frozen
             )
