@@ -549,13 +549,38 @@ class GPCore:
             # mesh large-N: row-slab block-sharded Cholesky across the
             # devices (ops/block_chol.py — all_gather'd panel, local MXU
             # trailing updates); the factor is then used by the SAME dense
-            # triangular predict path as the single-device case.  Non-PSD
-            # inputs surface as NaNs → ok=False → unit-Gaussian fallback
-            # (no jitter ladder here: one rung at the scaled base jitter).
+            # triangular predict path as the single-device case.
+            # Robustness matches the fit path's 2-rung scale-aware ladder
+            # (rungs (0, 1e-3)·mean-diag over base 1e-6): factor at the
+            # base rung, then escalate under a while_loop ONLY when NaNs
+            # appear — the common case pays one N³ factorization, and a
+            # genuinely non-PSD system that survives the big rung still
+            # collapses to ok=False → unit-Gaussian fallback (VERDICT r3
+            # #6; tested in test_mesh_large_n.py fallback tests).
             from ...ops.block_chol import block_cholesky_sharded
 
-            L = block_cholesky_sharded(
-                Kt, self.mesh, axis=self.mesh_axis, jitter=1e-6
+            scale = jnp.maximum(
+                jnp.mean(jnp.diagonal(Kt)), jnp.asarray(1e-12, Kt.dtype)
+            )
+            rungs = jnp.stack(
+                [jnp.asarray(1e-6, Kt.dtype), 1e-6 + 1e-3 * scale]
+            )
+
+            def _factor(j):
+                return block_cholesky_sharded(
+                    Kt, self.mesh, axis=self.mesh_axis, jitter=j
+                )
+
+            def _cond(c):
+                i, L = c
+                return (i < rungs.shape[0]) & ~jnp.all(jnp.isfinite(L))
+
+            def _body(c):
+                i, L = c
+                return i + 1, _factor(rungs[i])
+
+            _, L = jax.lax.while_loop(
+                _cond, _body, (jnp.asarray(1), _factor(rungs[0]))
             )
             ok = jnp.all(jnp.isfinite(L))
             alpha = jnp.where(ok, chol_solve(L, r), jnp.zeros_like(r))

