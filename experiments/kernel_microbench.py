@@ -97,6 +97,10 @@ def main():
         logp = lambda p: -core.loss(p, data)
         v_logp = jax.vmap(logp)
         v_grad = jax.vmap(jax.grad(logp))
+        # round-4 batched path (the product fit path, gp.fit_from_batched):
+        # ONE slab-kernel factorization for the whole batch + matmul solves
+        b_logp = lambda ps: -core.loss_batched(ps, data)
+        b_grad = jax.grad(lambda ps: -jnp.sum(b_logp(ps)))
 
         def chain_logp(ps):
             def body(c, _):
@@ -118,8 +122,28 @@ def main():
             c, _ = jax.lax.scan(body, ps, None, length=CHAIN)
             return jax.tree.map(jnp.sum, c)
 
+        def chain_logp_b(ps):
+            def body(c, _):
+                v = b_logp(c)
+                c2 = jax.tree.map(lambda t: t + 1e-9 * jnp.mean(v), c)
+                return c2, ()
+            c, _ = jax.lax.scan(body, ps, None, length=CHAIN)
+            return jax.tree.map(jnp.sum, c)
+
+        def chain_grad_b(ps):
+            def body(c, _):
+                g = b_grad(c)
+                c2 = jax.tree.map(
+                    lambda a, b: a + 1e-6 * jnp.nan_to_num(b), c, g
+                )
+                return c2, ()
+            c, _ = jax.lax.scan(body, ps, None, length=CHAIN)
+            return jax.tree.map(jnp.sum, c)
+
         j_logp = jax.jit(chain_logp)
         j_grad = jax.jit(chain_grad)
+        j_logp_b = jax.jit(chain_logp_b)
+        j_grad_b = jax.jit(chain_grad_b)
 
         for batch in batches:
             ps = jax.vmap(lambda k: core.init_params(k, data))(
@@ -127,6 +151,8 @@ def main():
             )
             t_logp = timed_min(j_logp, ps) / CHAIN
             t_grad = timed_min(j_grad, ps) / CHAIN
+            t_logp_b = timed_min(j_logp_b, ps) / CHAIN
+            t_grad_b = timed_min(j_grad_b, ps) / CHAIN
 
             n = n_pad
             # useful FLOPs per eval: gram + ONE Cholesky + solves
@@ -177,6 +203,12 @@ def main():
                 "grad_evals_per_s": round(batch / t_grad, 1),
                 "grad_mfu": round(
                     batch * flg_useful / t_grad / (PEAK_TFLOPS * 1e12), 5
+                ),
+                "logp_batched_step_ms": round(t_logp_b * 1e3, 3),
+                "grad_batched_step_ms": round(t_grad_b * 1e3, 3),
+                "grad_batched_evals_per_s": round(batch / t_grad_b, 1),
+                "grad_batched_mfu": round(
+                    batch * flg_useful / t_grad_b / (PEAK_TFLOPS * 1e12), 5
                 ),
                 "program_flops_per_grad_eval": int(flg_program),
                 "useful_flops_per_grad_eval": int(flg_useful),

@@ -385,6 +385,32 @@ class GPCore:
     def loss(self, params: GPParams, data: GPData) -> jnp.ndarray:
         return self.nll(params, data) - self.log_prior(params)
 
+    # ------------------------------------------------------- batched loss
+    def nll_batched(self, params_stacked: GPParams, data: GPData):
+        """(R,) masked NLL for a STACKED restart/chain batch of params.
+
+        The gram/noise assembly is cheap elementwise work and stays under
+        ``vmap``; the factorization-heavy core goes through
+        ``ops/chol.make_masked_nll_batched`` so on TPU the whole batch is
+        factorized by ONE HBM-slab Pallas kernel call (serial pivot chain
+        amortized across the batch, backward solves = batched matmuls —
+        ROOFLINE.md §1's ~7× headroom, VERDICT r3 #1).
+        """
+        from ...ops.chol import make_masked_nll_batched
+
+        Kt, r = jax.vmap(lambda p: self._train_system(p, data))(
+            params_stacked
+        )
+        n_act = jnp.broadcast_to(
+            jnp.sum(data.mask.astype(Kt.dtype)), (Kt.shape[0],)
+        )
+        return make_masked_nll_batched((0.0, 1e-3))(Kt, r, n_act)
+
+    def loss_batched(self, params_stacked: GPParams, data: GPData):
+        return self.nll_batched(params_stacked, data) - jax.vmap(
+            self.log_prior
+        )(params_stacked)
+
     # ----------------------------------------------------------------- init
     def init_params(self, key: jax.Array, data: GPData) -> GPParams:
         """Median-pairwise-distance lengthscale init (gp_util.py:48-52)."""
@@ -524,6 +550,98 @@ class GPCore:
         (pf, _, _), traj = jax.lax.scan(step, (params0, V0, key), jnp.arange(n))
         samples = jax.tree.map(lambda t: t[sample_steps], traj)
         return pf, self.loss(pf, data), samples
+
+    def fit_from_batched(
+        self, key: jax.Array, params0: GPParams, data: GPData
+    ) -> Tuple[GPParams, jnp.ndarray, GPParams]:
+        """Batched-restart ``fit_from``: params carry a leading R axis.
+
+        Returns ``(final_params (R,...), final_loss (R,), samples
+        (S, R, ...))``.  The optimizer updates are elementwise over the
+        pytree, so the adam/pSGLD scan bodies are IDENTICAL to the
+        per-restart ones — only the gradient comes from ONE batched-loss
+        program (``loss_batched``) whose factorization rides the Pallas
+        slab kernel on TPU instead of R expander chains under ``vmap``.
+        Other optimizers fall back to ``vmap`` of ``fit_from``.
+        """
+        R = jax.tree.leaves(params0)[0].shape[0]
+        if self.optimizer not in ("adam", "psgld"):
+            keys = jax.random.split(key, R)
+            pf, loss, samples = jax.vmap(
+                lambda k, p: self.fit_from(k, p, data)
+            )(keys, params0)
+            # normalize to the batched convention: samples (S, R, ...)
+            samples = jax.tree.map(lambda t: jnp.swapaxes(t, 0, 1), samples)
+            return pf, loss, samples
+
+        total = lambda P: jnp.sum(self.loss_batched(P, data))
+        grad_fn = jax.grad(total)
+        lr = self.lr
+        n = self.n_steps
+        burn = int(n * self.psgld_burnin_frac)
+        S = self.n_ensemble
+        sample_steps = jnp.asarray(
+            [burn + (k * max(n - burn, 1)) // S for k in range(S)],
+            dtype=jnp.int32,
+        )
+
+        def clip(g):
+            return jax.tree.map(
+                lambda t: jnp.nan_to_num(jnp.clip(t, -1e3, 1e3)), g
+            )
+
+        if self.optimizer == "adam":
+            import optax
+
+            opt = optax.adam(lr)
+
+            def step(carry, i):
+                p, st, k = carry
+                g = clip(grad_fn(p))
+                up, st = opt.update(g, st, p)
+                p = jax.tree.map(lambda a, b: a + b, p, up)
+                return (p, st, k), ()
+
+            (pf, _, _), _ = jax.lax.scan(
+                step, (params0, opt.init(params0), key), jnp.arange(n)
+            )
+            samples = jax.tree.map(
+                lambda t: jnp.broadcast_to(t, (S,) + t.shape), pf
+            )
+            return pf, self.loss_batched(pf, data), samples
+
+        # pSGLD on the stacked batch — one noise draw covers all restarts
+        alpha_rms = 0.99
+        lam = 1e-5
+
+        def step(carry, i):
+            p, V, k = carry
+            g = clip(grad_fn(p))
+            V = jax.tree.map(
+                lambda v, gi: alpha_rms * v + (1 - alpha_rms) * gi**2, V, g
+            )
+            k, ksub = jax.random.split(k)
+            leaves = jax.tree.leaves(p)
+            keys = jax.random.split(ksub, len(leaves))
+            keys = jax.tree.unflatten(jax.tree.structure(p), list(keys))
+            inject = (i >= burn).astype(jnp.float32)
+
+            def upd(pi, vi, gi, ki):
+                G = 1.0 / (lam + jnp.sqrt(vi))
+                noise = jnp.sqrt(jnp.maximum(lr * G, 0.0)) * jax.random.normal(
+                    ki, pi.shape, pi.dtype
+                )
+                return pi - 0.5 * lr * G * gi + inject * noise
+
+            p = jax.tree.map(upd, p, V, g, keys)
+            return (p, V, k), p
+
+        V0 = jax.tree.map(jnp.zeros_like, params0)
+        (pf, _, _), traj = jax.lax.scan(
+            step, (params0, V0, key), jnp.arange(n)
+        )
+        samples = jax.tree.map(lambda t: t[sample_steps], traj)
+        return pf, self.loss_batched(pf, data), samples
 
     def prior_diag(self, params: GPParams) -> jnp.ndarray:
         """k(x, x) — outputscale for normalized stationary kernels."""
@@ -800,17 +918,18 @@ class GP(BaseModel):
             n_particles = self.n_particles
 
             def map_fit(key, data):
-                keys = jax.random.split(key, R)
-
-                def one(k):
-                    k1, k2 = jax.random.split(k)
-                    p0 = core.init_params(k1, data)
-                    return core.fit_from(k2, p0, data)
-
-                pf, loss, samples = jax.vmap(one)(keys)
+                # batched restarts: ONE optimizer scan over stacked params
+                # (factorizations ride the Pallas slab kernel on TPU)
+                keys = jax.random.split(key, R + 1)
+                p0 = jax.vmap(lambda k: core.init_params(k, data))(
+                    keys[:R]
+                )
+                pf, loss, samples = core.fit_from_batched(
+                    keys[R], p0, data
+                )  # samples: (S, R, ...)
                 best = jnp.argmin(loss)
                 pf = jax.tree.map(lambda t: t[best], pf)
-                samples = jax.tree.map(lambda t: t[best], samples)
+                samples = jax.tree.map(lambda t: t[:, best], samples)
                 return pf, samples
 
             mesh = self.mesh

@@ -55,6 +55,8 @@ __all__ = [
     "cholesky_batched",
     "chol_inv_batched",
     "pallas_chol_supported",
+    "chol_inv_slab",
+    "slab_supported",
 ]
 
 BLK = 128
@@ -250,3 +252,337 @@ def chol_inv_batched(K: jnp.ndarray, interpret: bool = False):
     With W in hand every downstream solve is a matmul:
     K⁻¹ b = Wᵀ (W b), log|K| = 2 Σ log diag L."""
     return _run(K, with_inverse=True, interpret=interpret)
+
+
+# --------------------------------------------------------------------------
+# HBM-slab variant (round 4): in-kernel batch vectorization at every N.
+#
+# The r3 kernel above keeps whole (bc, N, N) matrices in VMEM, which caps
+# bc at 1 for N=1024 — it then executes B·N serial chain steps and loses
+# to the XLA expander (ROOFLINE.md §1, pallas_chol_results.json).  The
+# slab variant keeps the matrices in HBM and walks a LEFT-LOOKING blocked
+# factorization one 128-wide column panel at a time:
+#
+#   for panel j:  C ← A[:, :, jB]                       (DMA in, N×128)
+#                 C ← C − Σ_{k<j} Lₖ · (Lₖ rows at j)ᵀ   (stream Lₖ, MXU)
+#                 factor C[jB:jB+128] serially           (the N-deep chain,
+#                                                         batched over bc)
+#                 panel solve C·Wdᵀ on the MXU, write L panel (DMA out)
+#
+# VMEM holds only (bc, N, 128) slabs, so bc≈6 matrices ride each grid
+# step at N=1024 and the serial pivot chain is amortized across them —
+# the ~7× per-column headroom ROOFLINE.md measured behind the expander.
+# Left-looking (vs right-looking) makes every streamed panel write-once/
+# read-many: panel k is final when written, so the only RAW hazard is the
+# wait on its own out-DMA.
+#
+# A second kernel assembles W = L⁻¹ by blocked forward substitution
+# (pure MXU matmuls, no serial chain), so the analytic-NLL backward's
+# TriangularSolve(L, I) — 4 ms of the 17 ms grad step at (1024, 16) —
+# becomes a batched matmul (ops/chol.make_masked_nll_batched).
+# --------------------------------------------------------------------------
+
+SLAB_MAX_N = 4096
+
+
+def slab_supported(n: int) -> bool:
+    return n % BLK == 0 and BLK <= n <= SLAB_MAX_N
+
+
+# v5e VMEM is ~128 MB/core; the 16 MB figure is only the compiler's
+# default *scoped* limit (probed empirically: 110 MB scratch compiles and
+# runs).  Budget 80 MB so the whole fit batch usually rides ONE grid step.
+_VMEM_BUDGET_MB = 80.0
+_VMEM_LIMIT = int(100 * 1024 * 1024)
+
+
+MB = 8  # micro-block rows (f32 sublane granularity)
+
+
+def _slab_bc(n: int, resident: bool, budget_mb: float = _VMEM_BUDGET_MB) -> int:
+    """Matrices per grid step.  ``resident``: the whole (bc, N, N) factor
+    lives in VMEM (no stream DMA at all); otherwise only (N, 128) slabs
+    do.  Counts ~2 (N,128) kernel-body temporaries — they occupy VMEM
+    too (a 16 MB budget OOM'd on exactly this)."""
+    if resident:
+        per = (n * n + 3 * n * BLK + 6 * BLK * BLK) * 4
+    else:
+        per = (4 * n * BLK + 6 * BLK * BLK) * 4
+    return max(1, int(budget_mb * 1024 * 1024) // per)
+
+
+def _diag_factor_inverse_mb(d_ref, lt_ref, wb_ref, bc):
+    """Micro-blocked 128×128 diagonal-block factorization + inverse.
+
+    The r3 kernel's serial step did TWO (bc,128,128) VPU updates per
+    column — ~2 ms of pure VPU work per (16,1024) batch, the measured
+    bottleneck once the batch is in-kernel.  LAPACK-style micro-blocking
+    fixes the asymptotics: the serial rank-1 updates touch only an
+    8-row (bc, 8, 128) strip, and everything crossing strip boundaries
+    is ONE MXU contraction per strip (left-looking).  Phase 2 assembles
+    W = L⁻¹ of the block by the same strip-wise forward substitution.
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, BLK), 2)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (1, MB, 1), 1)
+    pv = jnp.zeros((bc, 1, BLK), jnp.float32)  # pivot inverses, by lane
+
+    def _mx(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    for s in range(BLK // MB):
+        r0 = s * MB
+        strip = d_ref[:, r0 : r0 + MB, :]
+        if s:
+            # pending updates from finished columns, on the MXU:
+            # M[u,c] = Σ_{k'<r0} L[r0+u,k']·L[c,k']  (lt rows ARE L cols)
+            strip = strip - _mx(
+                lt_ref[:, 0:r0, r0 : r0 + MB], lt_ref[:, 0:r0, :]
+            )
+
+        def p1_step(t, carry, _r0=r0):
+            strip, pv = carry
+            k = _r0 + t
+            # Mosaic has no dynamic_slice on VALUES — masked 8-row reduce
+            row = jnp.sum(
+                jnp.where(srow == t, strip, 0.0), axis=1, keepdims=True
+            )
+            dkk = jnp.sum(
+                jnp.where(lane == k, row, 0.0), axis=2, keepdims=True
+            )
+            inv = jax.lax.rsqrt(dkk)
+            pv = pv + jnp.where(lane == k, inv, 0.0)
+            col = jnp.where(lane >= k, row * inv, 0.0)  # L[:,k] by lane
+            lt_ref[:, pl.ds(k, 1), :] = col
+            colr = jnp.swapaxes(col[:, :, _r0 : _r0 + MB], 1, 2)  # (bc,8,1)
+            strip = strip - (colr * col) * ((lane > k) & (srow > t))
+            return strip, pv
+
+        _, pv = jax.lax.fori_loop(0, MB, p1_step, (strip, pv))
+    # phase 2: W = L⁻¹ rows, strip by strip
+    eyeb = (
+        jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+    ).astype(jnp.float32)
+    for s in range(BLK // MB):
+        r0 = s * MB
+        X = jnp.broadcast_to(eyeb[r0 : r0 + MB, :], (bc, MB, BLK))
+        if s:
+            X = X - _mx(lt_ref[:, 0:r0, r0 : r0 + MB], wb_ref[:, 0:r0, :])
+
+        def p2_step(t, X, _r0=r0):
+            k = _r0 + t
+            invk = jnp.sum(
+                jnp.where(lane == k, pv, 0.0), axis=2, keepdims=True
+            )
+            xrow = (
+                jnp.sum(jnp.where(srow == t, X, 0.0), axis=1, keepdims=True)
+                * invk
+            )
+            colr = jnp.swapaxes(
+                lt_ref[:, pl.ds(k, 1), _r0 : _r0 + MB], 1, 2
+            )
+            return jnp.where(
+                srow == t, xrow, X - (colr * xrow) * (srow > t)
+            )
+
+        X = jax.lax.fori_loop(0, MB, p2_step, X)
+        wb_ref[:, r0 : r0 + MB, :] = X
+
+
+def _factor_slab_kernel(
+    a_ref, l_ref, wd_ref, c_ref, lbuf_ref, d_ref, lt_ref, wb_ref, sem,
+    *, n: int, bc: int, kp: int, resident: bool, micro: bool,
+):
+    i = pl.program_id(0)
+    b0 = i * bc
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+
+    for j in range(kp):
+        c0 = j * BLK
+        cp = pltpu.make_async_copy(
+            a_ref.at[pl.ds(b0, bc), :, pl.ds(c0, BLK)], c_ref, sem
+        )
+        cp.start()
+        cp.wait()
+        # left-looking update: C -= Σ_{k<j} L_k · (L_k rows at j)ᵀ
+        for k in range(j):
+            if resident:
+                Lk = lbuf_ref[:, :, k * BLK : (k + 1) * BLK]
+            else:
+                cpk = pltpu.make_async_copy(
+                    l_ref.at[pl.ds(b0, bc), :, pl.ds(k * BLK, BLK)],
+                    lbuf_ref, sem,
+                )
+                cpk.start()
+                cpk.wait()
+                Lk = lbuf_ref[:]
+            c_ref[:] = c_ref[:] - _bmm_t(Lk, Lk[:, c0 : c0 + BLK, :])
+        # serial diagonal factorization (micro-blocked), batched over bc
+        d_ref[:] = c_ref[:, c0 : c0 + BLK, :]
+        if micro:
+            _diag_factor_inverse_mb(d_ref, lt_ref, wb_ref, bc)
+        else:
+            _diag_factor_inverse(d_ref, lt_ref, wb_ref, bc)
+        cpw = pltpu.make_async_copy(wb_ref, wd_ref.at[pl.ds(b0, bc), j], sem)
+        cpw.start()
+        # panel solve on the MXU; zero above the diagonal block
+        P = _bmm_t(c_ref[:], wb_ref[:])  # (bc, N, 128)
+        c_ref[:] = jnp.where(rows >= c0 + BLK, P, 0.0)
+        c_ref[:, c0 : c0 + BLK, :] = jnp.transpose(lt_ref[:], (0, 2, 1))
+        if resident:
+            lbuf_ref[:, :, c0 : c0 + BLK] = c_ref[:]
+        cpw.wait()
+        cpo = pltpu.make_async_copy(
+            c_ref, l_ref.at[pl.ds(b0, bc), :, pl.ds(c0, BLK)], sem
+        )
+        cpo.start()
+        cpo.wait()  # c_ref is overwritten next panel (and read back at
+        # j+1 in streaming mode) — the write must land first
+
+
+def _winv_slab_kernel(
+    l_ref, wd_ref, w_ref, wcol_ref, lbuf_ref, wdv_ref, sem,
+    *, n: int, bc: int, kp: int, resident: bool,
+):
+    """W block-column j by forward substitution; ``wcol`` doubles as the
+    accumulator — row-block k holds ACC[k] = Σ_{k'<k} L[k,k']·W[k',j]
+    until its own finalization step rewrites it as W[k,j] = -Wd_k·ACC[k]."""
+    i = pl.program_id(0)
+    b0 = i * bc
+    rows = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+    cpd = pltpu.make_async_copy(wd_ref.at[pl.ds(b0, bc)], wdv_ref, sem)
+    cpd.start()
+    if resident:
+        cpl = pltpu.make_async_copy(l_ref.at[pl.ds(b0, bc)], lbuf_ref, sem)
+        cpl.start()
+        cpl.wait()
+    cpd.wait()
+
+    for j in range(kp):
+        cj = j * BLK
+        wcol_ref[:] = jnp.zeros((bc, n, BLK), jnp.float32)
+        wcol_ref[:, cj : cj + BLK, :] = wdv_ref[:, j]
+        for k in range(j, kp):
+            if k > j:
+                # ACC[k] is complete once panel k-1 has streamed
+                wcol_ref[:, k * BLK : (k + 1) * BLK, :] = -_bmm(
+                    wdv_ref[:, k], wcol_ref[:, k * BLK : (k + 1) * BLK, :]
+                )
+            if k < kp - 1:
+                if resident:
+                    Lk = lbuf_ref[:, :, k * BLK : (k + 1) * BLK]
+                else:
+                    cpk = pltpu.make_async_copy(
+                        l_ref.at[pl.ds(b0, bc), :, pl.ds(k * BLK, BLK)],
+                        lbuf_ref, sem,
+                    )
+                    cpk.start()
+                    cpk.wait()
+                    Lk = lbuf_ref[:]
+                wk = wcol_ref[:, k * BLK : (k + 1) * BLK, :]
+                contrib = _bmm(Lk, wk)  # L[:,k] @ W[k,j]
+                wcol_ref[:] = wcol_ref[:] + jnp.where(
+                    rows >= (k + 1) * BLK, contrib, 0.0
+                )
+        cpo = pltpu.make_async_copy(
+            wcol_ref, w_ref.at[pl.ds(b0, bc), :, pl.ds(cj, BLK)], sem
+        )
+        cpo.start()
+        cpo.wait()
+
+
+def _balanced_bc(B: int, bc_max: int) -> int:
+    """Split B into equal chunks ≤ bc_max (avoids identity-padding a
+    whole extra chunk: B=16 with bc_max=13 → two chunks of 8, not
+    13 + 13 with 10 padded matrices)."""
+    steps = -(-B // bc_max)
+    return -(-B // steps)
+
+
+def _run_slab(K: jnp.ndarray, interpret: bool):
+    import os
+
+    B, n, n2 = K.shape
+    assert n == n2 and slab_supported(n), (B, n, n2)
+    kp = n // BLK
+    bc_res = _slab_bc(n, resident=True)
+    mode = os.environ.get("HEBO_SLAB_RESIDENT", "auto")
+    if mode == "auto":
+        resident = bc_res >= min(B, 8)
+    else:
+        resident = mode == "1"
+    bc = _balanced_bc(B, bc_res if resident else _slab_bc(n, resident=False))
+    Bp = -(-B // bc) * bc
+    if Bp != B:
+        K = jnp.concatenate(
+            [K, jnp.broadcast_to(jnp.eye(n, dtype=K.dtype), (Bp - B, n, n))],
+            axis=0,
+        )
+    lbuf_shape = (bc, n, n) if resident else (bc, n, BLK)
+    L, Wd = pl.pallas_call(
+        partial(
+            _factor_slab_kernel, n=n, bc=bc, kp=kp, resident=resident,
+            micro=os.environ.get("HEBO_SLAB_MICRO", "1") == "1",
+        ),
+        grid=(Bp // bc,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, n, n), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, kp, BLK, BLK), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bc, n, BLK), jnp.float32),   # C panel
+            pltpu.VMEM(lbuf_shape, jnp.float32),     # resident L / stream buf
+            pltpu.VMEM((bc, BLK, BLK), jnp.float32),  # diag block
+            pltpu.VMEM((bc, BLK, BLK), jnp.float32),  # Lᵀ rows
+            pltpu.VMEM((bc, BLK, BLK), jnp.float32),  # Wd work block
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(K.astype(jnp.float32))
+    bw = _balanced_bc(Bp, bc_res if resident else _slab_bc(n, resident=False))
+    Bw = -(-Bp // bw) * bw
+    if Bw != Bp:
+        # identity-pad so the W grid divides evenly (L of I is I)
+        padL = jnp.broadcast_to(jnp.eye(n, dtype=L.dtype), (Bw - Bp, n, n))
+        padD = jnp.broadcast_to(
+            jnp.eye(BLK, dtype=L.dtype), (Bw - Bp, kp, BLK, BLK)
+        )
+        L2 = jnp.concatenate([L, padL], axis=0)
+        Wd2 = jnp.concatenate([Wd, padD], axis=0)
+    else:
+        L2, Wd2 = L, Wd
+    wbuf_shape = (bw, n, n) if resident else (bw, n, BLK)
+    W = pl.pallas_call(
+        partial(_winv_slab_kernel, n=n, bc=bw, kp=kp, resident=resident),
+        grid=(Bw // bw,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((Bw, n, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bw, n, BLK), jnp.float32),        # W col (=ACC)
+            pltpu.VMEM(wbuf_shape, jnp.float32),          # resident/stream L
+            pltpu.VMEM((bw, kp, BLK, BLK), jnp.float32),  # Wd diagonals
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(L2, Wd2)
+    return L[:B], W[:B]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def chol_inv_slab(K: jnp.ndarray, interpret: bool = False):
+    """(L, W) with K = L Lᵀ and W = L⁻¹ for a (B, N, N) f32 batch.
+
+    HBM-resident slab kernels: in-kernel batch vectorization at every
+    supported N (vs ``chol_inv_batched``'s VMEM-resident bc=1 at 1024).
+    Non-PSD inputs propagate NaNs exactly like ``jnp.linalg.cholesky``.
+    """
+    return _run_slab(K, interpret=interpret)

@@ -288,17 +288,18 @@ class HEBO(AbstractOptimizer):
                 eps_ = scal[2 * nnd + 3]
                 key = jax.random.PRNGKey(scal[2 * nnd + 4].astype(jnp.int32))
                 k_fit, k_evo, k_jit = jax.random.split(key, 3)
-                keys = jax.random.split(k_fit, R)
-
-                def one(k):
-                    k1, k2 = jax.random.split(k)
-                    p0 = core.init_params(k1, data)
-                    return core.fit_from(k2, p0, data)
-
-                pf, loss, samples = jax.vmap(one)(keys)
+                keys = jax.random.split(k_fit, R + 1)
+                # batched restarts: one optimizer scan over stacked params
+                # (gp.fit_from_batched — Pallas slab factorizations on TPU)
+                p0 = jax.vmap(lambda kk: core.init_params(kk, data))(
+                    keys[:R]
+                )
+                pf, loss, samples = core.fit_from_batched(
+                    keys[R], p0, data
+                )  # samples: (S, R, ...)
                 best = jnp.argmin(loss)
                 pf = jax.tree.map(lambda tt: tt[best], pf)
-                samples = jax.tree.map(lambda tt: tt[best], samples)
+                samples = jax.tree.map(lambda tt: tt[:, best], samples)
                 caches = jax.vmap(lambda p: core.posterior_cache(p, data))(samples)
                 state = (samples, caches, data)
                 # incumbent prediction (standardized → model frame)
