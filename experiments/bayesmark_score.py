@@ -75,6 +75,10 @@ def main():
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--fast", action="store_true",
                     help="2 tasks, 6 rounds (smoke)")
+    ap.add_argument("--models",
+                    default="lasso,linear,DT,kNN,SVM,ada,RF",
+                    help="comma list (r4 default: 7-model breadth)")
+    ap.add_argument("--datasets", default="breast,diabetes,wine")
     ap.add_argument("--out", default="experiments/bayesmark_results.json")
     args = ap.parse_args()
 
@@ -84,7 +88,8 @@ def main():
         tasks = suite(models=("SVM", "DT"), datasets=("breast",))
         rounds, seeds, rr = 6, 2, 4
     else:
-        tasks = suite()
+        tasks = suite(models=tuple(args.models.split(",")),
+                      datasets=tuple(args.datasets.split(",")))
         rounds, seeds, rr = args.rounds, args.seeds, args.rand_repeats
 
     results = []
@@ -123,6 +128,9 @@ def main():
         print(f"{task.name:16s} final {results[-1]['final_score_mean']:6.1f}"
               f" ± {results[-1]['final_score_2se']:.1f}"
               f"  ({results[-1]['wall_s']}s)", flush=True)
+        # incremental checkpoint: long runs record whatever has finished
+        with open(args.out + ".partial", "w") as f:
+            json.dump(results, f)
 
     agg_final = float(np.mean([r["final_score_mean"] for r in results]))
     agg_rounds = float(np.mean([r["mean_over_rounds_score"] for r in results]))

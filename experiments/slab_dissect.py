@@ -39,11 +39,15 @@ def main():
             return c
         return run
 
-    def timed(fn):
-        jax.block_until_ready(fn(Kd))
+    # distinct input per rep: rules out any result caching in the relay
+    Kds = [jnp.asarray(K + i * 1e-6) for i in range(7)]
+
+    def timed(fn, name=""):
+        jax.block_until_ready(fn(Kds[6]))
         ts = []
-        for _ in range(6):
-            t0 = time.perf_counter(); jax.block_until_ready(fn(Kd)); ts.append(time.perf_counter()-t0)
+        for i in range(6):
+            t0 = time.perf_counter(); jax.block_until_ready(fn(Kds[i])); ts.append(time.perf_counter()-t0)
+        print(name, [round(t*1e3, 2) for t in ts], flush=True)
         return min(ts)/CHAIN*1e3
 
     def factor_only(Kx, micro=True, nodiag=False):
@@ -100,10 +104,11 @@ def main():
         )(Kx)
 
     out = {}
-    out["full_ms"] = timed(chain(lambda c: pc.chol_inv_slab(c)))
-    out["factor_micro_ms"] = timed(chain(lambda c: factor_only(c, micro=True)))
-    out["factor_old_ms"] = timed(chain(lambda c: factor_only(c, micro=False)))
-    out["factor_nodiag_ms"] = timed(chain(lambda c: factor_only(c, nodiag=True)))
+    out["empty_ms"] = timed(chain(lambda c: (c,)), "empty")
+    out["full_ms"] = timed(chain(lambda c: pc.chol_inv_slab(c)), "full")
+    out["factor_micro_ms"] = timed(chain(lambda c: factor_only(c, micro=True)), "micro")
+    out["factor_old_ms"] = timed(chain(lambda c: factor_only(c, micro=False)), "old")
+    out["factor_nodiag_ms"] = timed(chain(lambda c: factor_only(c, nodiag=True)), "nodiag")
     for k, v in out.items():
         out[k] = round(v, 3)
     print(json.dumps(out))

@@ -24,7 +24,7 @@ from jax import lax
 
 __all__ = [
     "safe_cholesky", "chol_solve", "chol_logdet", "make_masked_nll",
-    "make_masked_nll_batched",
+    "make_masked_nll_batched", "batched_ladder_factor",
 ]
 
 _LADDER = (0.0, 1e-6, 1e-4, 1e-2, 1.0)
@@ -152,6 +152,52 @@ def _use_slab(n: int) -> bool:
     return platform == "tpu" and slab_supported(n) and n >= 256
 
 
+def batched_ladder_factor(Kt, rungs: tuple, base_jitter: float = 1e-6):
+    """Scale-aware jitter-ladder factorization of a (B, N, N) batch.
+
+    Returns ``(L, W, ok)`` with ``W = L⁻¹`` of the first succeeding rung
+    per matrix.  The first rung is always computed; later rungs run under
+    ``lax.cond`` only when some matrix failed (one factorization in the
+    common case).  On TPU at supported N the whole batch rides the Pallas
+    slab kernel (``ops/pallas_chol.chol_inv_slab``); XLA fallback
+    elsewhere.  NOT for use under ``vmap`` (the cond would both-branch).
+    """
+
+    def _factor(Kb):
+        if _use_slab(Kb.shape[-1]):
+            from .pallas_chol import chol_inv_slab
+
+            return chol_inv_slab(Kb)
+        return _chol_inv_xla(Kb)
+
+    B, n, _ = Kt.shape
+    eye = jnp.eye(n, dtype=Kt.dtype)
+    scale = jnp.maximum(
+        jnp.mean(jnp.diagonal(Kt, axis1=-2, axis2=-1), axis=-1), 1e-12
+    )  # (B,)
+    jit0 = base_jitter + rungs[0] * scale
+    L, W = _factor(Kt + jit0[:, None, None] * eye)
+    ok = jnp.all(jnp.isfinite(L), axis=(-2, -1))  # (B,)
+    for rung in rungs[1:]:
+
+        def _retry(L, W, ok, _rung=rung):
+            jit_r = base_jitter + _rung * scale
+            L2, W2 = _factor(Kt + jit_r[:, None, None] * eye)
+            ok2 = jnp.all(jnp.isfinite(L2), axis=(-2, -1))
+            take = (~ok) & ok2
+            sel = take[:, None, None]
+            return (
+                jnp.where(sel, L2, L),
+                jnp.where(sel, W2, W),
+                ok | ok2,
+            )
+
+        L, W, ok = lax.cond(
+            jnp.all(ok), lambda L, W, ok: (L, W, ok), _retry, L, W, ok
+        )
+    return L, W, ok
+
+
 @lru_cache(maxsize=None)
 def make_masked_nll_batched(rungs: tuple, base_jitter: float = 1e-6):
     """Batched Gaussian NLL over (B, N, N) systems with analytic VJP.
@@ -175,43 +221,8 @@ def make_masked_nll_batched(rungs: tuple, base_jitter: float = 1e-6):
     un-vmapped, the ``cond`` is a real branch skip.
     """
 
-    def _factor(Kb):
-        if _use_slab(Kb.shape[-1]):
-            from .pallas_chol import chol_inv_slab
-
-            return chol_inv_slab(Kb)
-        return _chol_inv_xla(Kb)
-
-    def _ladder(Kt):
-        B, n, _ = Kt.shape
-        eye = jnp.eye(n, dtype=Kt.dtype)
-        scale = jnp.maximum(
-            jnp.mean(jnp.diagonal(Kt, axis1=-2, axis2=-1), axis=-1), 1e-12
-        )  # (B,)
-        jit0 = base_jitter + rungs[0] * scale
-        L, W = _factor(Kt + jit0[:, None, None] * eye)
-        ok = jnp.all(jnp.isfinite(L), axis=(-2, -1))  # (B,)
-        for rung in rungs[1:]:
-
-            def _retry(L, W, ok, _rung=rung):
-                jit_r = base_jitter + _rung * scale
-                L2, W2 = _factor(Kt + jit_r[:, None, None] * eye)
-                ok2 = jnp.all(jnp.isfinite(L2), axis=(-2, -1))
-                take = (~ok) & ok2
-                sel = take[:, None, None]
-                return (
-                    jnp.where(sel, L2, L),
-                    jnp.where(sel, W2, W),
-                    ok | ok2,
-                )
-
-            L, W, ok = lax.cond(
-                jnp.all(ok), lambda L, W, ok: (L, W, ok), _retry, L, W, ok
-            )
-        return L, W, ok
-
     def _fwd_impl(Kt, r, n_act):
-        L, W, ok = _ladder(Kt)
+        L, W, ok = batched_ladder_factor(Kt, rungs, base_jitter)
         okb = ok[:, None, None]
         Ls = jnp.where(okb, L, jnp.eye(Kt.shape[-1], dtype=Kt.dtype))
         Ws = jnp.where(okb, W, 0.0)
