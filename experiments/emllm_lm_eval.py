@@ -38,46 +38,86 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 # ---- vocabulary ----------------------------------------------------------
-D0 = 0          # digits 0..9 at ids 0..9
+# digits 0..9 at ids 0..9; markers; then a 44-symbol key alphabet.  Keys
+# are TWO key-alphabet tokens (1936 combos) — matchable by a 2-3 layer
+# induction circuit; needle keys use a reserved first symbol excluded
+# from fillers, so the queried fact is unique in the stream.
 KEY, VAL, QUERY, ARROW, SEP, BOS = 10, 11, 12, 13, 14, 15
-VOCAB = 16
-FACT_LEN = 10   # KEY k1 k2 k3 k4 VAL v1 v2 v3 SEP
+KA0, KA_N = 16, 44
+VOCAB = KA0 + KA_N
+N_RESERVED = 4  # first symbols KA0..KA0+3 are needle-only
+FACT_LEN = 8    # KEY k1 k2 VAL v1 v2 v3 SEP
 SEQ_LEN = 512
-N_FACTS_TRAIN = (SEQ_LEN - 10) // FACT_LEN  # 50 facts + query + answer
+N_POSITIONS = 1024
+N_FACTS_TRAIN = (SEQ_LEN - 8) // FACT_LEN  # 63 facts + query + answer
 
-N_EPISODES = int(os.environ.get("EMLLM_EPISODES", 10))
+N_EPISODES = int(os.environ.get("EMLLM_EPISODES", 8))
 LENGTHS = (32768, 65536, 131072)
 MAX_STEPS = int(os.environ.get("EMLLM_TRAIN_STEPS", 4000))
-CHUNK = 256
+CHUNK = 512
 
 
 def digits(v, n):
     return [int(c) for c in str(v).zfill(n)]
 
 
-def make_fact(key, val):
-    return [KEY] + digits(key, 4) + [VAL] + digits(val, 3) + [SEP]
+def key_tokens(k1, k2):
+    return [KA0 + int(k1), KA0 + int(k2)]
 
 
-def make_query(key):
-    return [QUERY] + digits(key, 4) + [ARROW]
+def make_fact(k1, k2, val):
+    return [KEY] + key_tokens(k1, k2) + [VAL] + digits(val, 3) + [SEP]
+
+
+def make_query(k1, k2):
+    return [QUERY] + key_tokens(k1, k2) + [ARROW]
+
+
+def sample_keys(rng, n, reserved=False):
+    """Distinct (k1, k2) pairs; fillers never use reserved first symbols."""
+    lo = 0 if reserved else N_RESERVED
+    k1 = rng.integers(lo if reserved else N_RESERVED, KA_N, size=n)
+    if reserved:
+        k1 = rng.integers(0, N_RESERVED, size=n)
+    k2 = rng.integers(0, KA_N, size=n)
+    return k1, k2
 
 
 def train_batch(rng, batch):
-    xs, ys = [], []
+    """Sequences + label mask: loss ONLY on the 3 answer digits (the
+    filler values are unlearnable noise; masking focuses every gradient
+    on the lookup task)."""
+    xs, lbl = [], []
     for _ in range(batch):
-        keys = rng.choice(9900, size=N_FACTS_TRAIN, replace=False)
+        # mix of filler and (sometimes) reserved-symbol keys so needle
+        # keys are in-distribution at eval
+        k1 = rng.integers(0, KA_N, size=N_FACTS_TRAIN)
+        k2 = rng.integers(0, KA_N, size=N_FACTS_TRAIN)
+        # dedupe collisions: keep first occurrence queryable
         vals = rng.integers(0, 1000, size=N_FACTS_TRAIN)
         toks = [BOS]
-        for k, v in zip(keys, vals):
-            toks.extend(make_fact(int(k), int(v)))
+        for a, b, v in zip(k1, k2, vals):
+            toks.extend(make_fact(int(a), int(b), int(v)))
         qi = int(rng.integers(0, N_FACTS_TRAIN))
-        toks.extend(make_query(int(keys[qi])))
-        toks.extend(digits(int(vals[qi]), 3))
+        # query the LAST occurrence of a duplicated key is ambiguous —
+        # re-draw qi until its key is unique in this sequence
+        for _try in range(8):
+            dup = ((k1 == k1[qi]) & (k2 == k2[qi])).sum()
+            if dup == 1:
+                break
+            qi = int(rng.integers(0, N_FACTS_TRAIN))
+        toks.extend(make_query(int(k1[qi]), int(k2[qi])))
+        ans = digits(int(vals[qi]), 3)
+        toks.extend(ans)
         toks = toks[:SEQ_LEN]
-        xs.append(toks + [SEP] * (SEQ_LEN - len(toks)))
-        ys.append(len(toks) - 3)  # answer start
-    return np.asarray(xs), np.asarray(ys)
+        pad = SEQ_LEN - len(toks)
+        xs.append(toks + [SEP] * pad)
+        m = [-100] * SEQ_LEN
+        a0 = len(toks) - 3
+        for j in range(3):
+            m[a0 + j] = toks[a0 + j]
+        lbl.append(m)
+    return np.asarray(xs), np.asarray(lbl)
 
 
 def train_model():
@@ -86,24 +126,29 @@ def train_model():
 
     torch.manual_seed(0)
     cfg = GPT2Config(
-        vocab_size=VOCAB, n_positions=SEQ_LEN, n_embd=64, n_layer=2,
-        n_head=2, resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+        vocab_size=VOCAB, n_positions=N_POSITIONS, n_embd=96, n_layer=3,
+        n_head=4, resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
     )
     model = GPT2LMHeadModel(cfg)
-    opt = torch.optim.AdamW(model.parameters(), lr=3e-4)
+    opt = torch.optim.AdamW(model.parameters(), lr=1e-3)
     rng = np.random.default_rng(0)
     t0 = time.time()
     acc = 0.0
     for step in range(MAX_STEPS):
-        xs, _ = train_batch(rng, 8)
+        xs, lbl = train_batch(rng, 8)
         x = torch.tensor(xs, dtype=torch.long)
-        out = model(x, labels=x)
+        labels = torch.tensor(lbl, dtype=torch.long)
+        # random position offset: eval feeds retrieved-KV prefixes, so
+        # positions up to ~700 must be trained (n_positions 1024)
+        off = int(rng.integers(0, N_POSITIONS - SEQ_LEN))
+        pos = torch.arange(off, off + SEQ_LEN)[None].expand(x.shape[0], -1)
+        out = model(x, labels=labels, position_ids=pos)
         opt.zero_grad()
         out.loss.backward()
         opt.step()
         if (step + 1) % 250 == 0:
-            acc = eval_in_window(model, rng, 20)
-            print(f"step {step+1}: loss {float(out.loss):.3f} "
+            acc = eval_in_window(model, rng, 25)
+            print(f"step {step+1}: answer loss {float(out.loss):.3f} "
                   f"in-window answer acc {acc:.2f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
             if acc >= 0.95:
@@ -135,36 +180,46 @@ def eval_in_window(model, rng, n_ep):
     """Oracle skyline: needle + query inside one native window."""
     hits = 0
     for _ in range(n_ep):
-        keys = rng.choice(9900, size=N_FACTS_TRAIN, replace=False)
+        k1 = rng.integers(N_RESERVED, KA_N, size=N_FACTS_TRAIN)
+        k2 = rng.integers(0, KA_N, size=N_FACTS_TRAIN)
         vals = rng.integers(0, 1000, size=N_FACTS_TRAIN)
+        nk1 = int(rng.integers(0, N_RESERVED))
+        nk2 = int(rng.integers(0, KA_N))
+        nval = int(rng.integers(0, 1000))
+        pos = int(rng.integers(0, N_FACTS_TRAIN))
         toks = [BOS]
-        for k, v in zip(keys, vals):
-            toks.extend(make_fact(int(k), int(v)))
-        qi = int(rng.integers(0, N_FACTS_TRAIN))
-        toks.extend(make_query(int(keys[qi])))
+        for i, (a, b, v) in enumerate(zip(k1, k2, vals)):
+            if i == pos:
+                toks.extend(make_fact(nk1, nk2, nval))
+            else:
+                toks.extend(make_fact(int(a), int(b), int(v)))
+        toks.extend(make_query(nk1, nk2))
         ans = greedy_answer(model, toks[:SEQ_LEN - 3])
-        hits += int(ans == digits(int(vals[qi]), 3))
+        hits += int(ans == digits(nval, 3))
     return hits / n_ep
 
 
 def episode_stream(rng, total_len):
-    """Filler facts (keys < 9900) + one needle (key >= 9900) at a random
-    position in the FIRST HALF (genuinely long-range), + final query."""
+    """Filler facts (non-reserved first key symbol) + ONE needle with a
+    reserved first symbol (unique by construction) placed in the first
+    half (genuinely long-range), + final query."""
     n_facts = (total_len - 12) // FACT_LEN
-    keys = rng.integers(0, 9900, size=n_facts)
+    k1 = rng.integers(N_RESERVED, KA_N, size=n_facts)
+    k2 = rng.integers(0, KA_N, size=n_facts)
     vals = rng.integers(0, 1000, size=n_facts)
-    needle_key = int(rng.integers(9900, 10000))
+    nk1 = int(rng.integers(0, N_RESERVED))
+    nk2 = int(rng.integers(0, KA_N))
     needle_val = int(rng.integers(0, 1000))
     pos = int(rng.integers(0, n_facts // 2))
     toks = [BOS]
-    for i, (k, v) in enumerate(zip(keys, vals)):
+    for i, (a, b, v) in enumerate(zip(k1, k2, vals)):
         if i == pos:
-            toks.extend(make_fact(needle_key, needle_val))
+            toks.extend(make_fact(nk1, nk2, needle_val))
         else:
-            toks.extend(make_fact(int(k), int(v)))
+            toks.extend(make_fact(int(a), int(b), int(v)))
     return (
         np.asarray(toks, np.int64),
-        np.asarray(make_query(needle_key), np.int64),
+        np.asarray(make_query(nk1, nk2), np.int64),
         digits(needle_val, 3),
     )
 

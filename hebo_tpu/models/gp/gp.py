@@ -66,11 +66,18 @@ class GPData(NamedTuple):
 
 
 class GPCache(NamedTuple):
-    """Posterior cache after fit: Cholesky factor + weights."""
+    """Posterior cache after fit: Cholesky factor + weights.
+
+    ``Wf`` optionally carries W = L⁻¹ (computed once per refit by the
+    batched ladder / Pallas slab kernel): with it, the predictive-variance
+    solve in ``predict_scaled`` — an expander-serial TriangularSolve that
+    otherwise runs on EVERY acquisition evaluation — becomes one MXU
+    matmul (r4, VERDICT r3 #1)."""
 
     L: jnp.ndarray  # (Nmax, Nmax)
     alpha: jnp.ndarray  # (Nmax, 1)
     ok: jnp.ndarray  # () bool — factorization succeeded
+    Wf: Optional[jnp.ndarray] = None  # (Nmax, Nmax) L⁻¹ or None
 
 
 class GPCore:
@@ -724,6 +731,35 @@ class GPCore:
         alpha = chol_solve(L, r)
         return GPCache(L=L, alpha=alpha, ok=ok)
 
+    def posterior_cache_batched(
+        self, samples: GPParams, data: GPData
+    ) -> GPCache:
+        """Posterior caches for a STACKED ensemble (leading S axis).
+
+        Dense branch: ONE batched full-ladder factorization (the Pallas
+        slab kernel on TPU) instead of S vmapped 5-rung expander chains,
+        and the fused W = L⁻¹ is kept in the cache so every downstream
+        acquisition evaluation's variance solve is a matmul.  Mesh/CG
+        branches fall back to the vmapped per-sample path unchanged.
+        """
+        n = data.X.shape[0]
+        if self._use_block_sharded(n) or self._use_cg(n) or n > 2048:
+            caches = jax.vmap(
+                lambda p: self.posterior_cache(p, data)
+            )(samples)
+            return caches
+        from ...ops.chol import _LADDER, batched_ladder_factor
+
+        Kt, r = jax.vmap(lambda p: self._train_system(p, data))(samples)
+        L, W, ok = batched_ladder_factor(Kt, _LADDER)
+        okb = ok[:, None, None]
+        eye = jnp.eye(n, dtype=Kt.dtype)
+        Ls = jnp.where(okb, L, eye)
+        Ws = jnp.where(okb, W, 0.0)
+        Wr = jnp.einsum("sij,sjk->sik", Ws, r)
+        alpha = jnp.einsum("sji,sjk->sik", Ws, Wr)
+        return GPCache(L=Ls, alpha=alpha, ok=ok, Wf=Ws)
+
     def predict_scaled(
         self, params: GPParams, cache: GPCache, data: GPData, Xs: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -746,6 +782,12 @@ class GPCore:
                 lambda X: Kt @ X, Ks, precond_apply=apply, n_iters=self.cg_iters
             )
             expl = jnp.sum(Ks * vsol, axis=0)
+        elif cache.Wf is not None:
+            # W cached at refit → the per-eval solve is an MXU matmul
+            v = jax.lax.dot(
+                cache.Wf, Ks, precision=jax.lax.Precision.HIGHEST
+            )
+            expl = jnp.sum(v * v, axis=0)
         else:
             v = jax.scipy.linalg.solve_triangular(cache.L, Ks, lower=True)
             expl = jnp.sum(v * v, axis=0)
@@ -1004,7 +1046,7 @@ class GP(BaseModel):
                         )
                     take = jnp.linspace(0, n_particles - 1, S).astype(jnp.int32)
                     samples = jax.tree.map(lambda t: t[take], parts)
-                caches = jax.vmap(lambda p: core.posterior_cache(p, data))(samples)
+                caches = core.posterior_cache_batched(samples, data)
                 return pf, samples, caches
 
             self._fit_jit[n_pad] = fit_fn

@@ -291,9 +291,11 @@ def slab_supported(n: int) -> bool:
 
 # v5e VMEM is ~128 MB/core; the 16 MB figure is only the compiler's
 # default *scoped* limit (probed empirically: 110 MB scratch compiles and
-# runs).  Budget 80 MB so the whole fit batch usually rides ONE grid step.
-_VMEM_BUDGET_MB = 80.0
-_VMEM_LIMIT = int(100 * 1024 * 1024)
+# runs).  Budget 96 MB so the whole fit batch rides ONE grid step at the
+# product shapes (bc_res=16 at N=1024 — a 13-matrix cap split B=16 into
+# two serial chain walks and cost ~1.8x at (1024,16)).
+_VMEM_BUDGET_MB = 96.0
+_VMEM_LIMIT = int(112 * 1024 * 1024)
 
 
 MB = 8  # micro-block rows (f32 sublane granularity)

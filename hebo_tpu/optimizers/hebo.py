@@ -300,7 +300,7 @@ class HEBO(AbstractOptimizer):
                 best = jnp.argmin(loss)
                 pf = jax.tree.map(lambda tt: tt[best], pf)
                 samples = jax.tree.map(lambda tt: tt[:, best], samples)
-                caches = jax.vmap(lambda p: core.posterior_cache(p, data))(samples)
+                caches = core.posterior_cache_batched(samples, data)
                 state = (samples, caches, data)
                 # incumbent prediction (standardized → model frame)
                 y_masked = jnp.where(data.mask, data.y[:, 0], jnp.inf)
