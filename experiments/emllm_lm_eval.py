@@ -135,20 +135,34 @@ def train_model():
     t0 = time.time()
     acc = 0.0
     for step in range(MAX_STEPS):
-        xs, lbl = train_batch(rng, 8)
+        xs, lbl = train_batch(rng, 16)
         x = torch.tensor(xs, dtype=torch.long)
         labels = torch.tensor(lbl, dtype=torch.long)
         # random position offset: eval feeds retrieved-KV prefixes, so
         # positions up to ~700 must be trained (n_positions 1024)
         off = int(rng.integers(0, N_POSITIONS - SEQ_LEN))
         pos = torch.arange(off, off + SEQ_LEN)[None].expand(x.shape[0], -1)
-        out = model(x, labels=labels, position_ids=pos)
+        out = model(x, position_ids=pos)
+        # combined objective: full-LM loss forms the previous-token /
+        # induction circuitry (answer-only loss alone leaves the trunk
+        # with no pressure to represent structure — it plateaued at the
+        # uniform-digit 2.3 nats); the answer tokens get 5x weight
+        logits = out.logits[:, :-1].reshape(-1, VOCAB)
+        tgt_all = x[:, 1:].reshape(-1)
+        ce = torch.nn.functional.cross_entropy(logits, tgt_all)
+        lbl_sh = labels[:, 1:].reshape(-1)
+        ans_mask = lbl_sh != -100
+        ce_ans = torch.nn.functional.cross_entropy(
+            logits[ans_mask], lbl_sh[ans_mask]
+        )
+        loss = ce + 5.0 * ce_ans
         opt.zero_grad()
-        out.loss.backward()
+        loss.backward()
         opt.step()
         if (step + 1) % 250 == 0:
             acc = eval_in_window(model, rng, 25)
-            print(f"step {step+1}: answer loss {float(out.loss):.3f} "
+            print(f"step {step+1}: lm {float(ce):.3f} ans "
+                  f"{float(ce_ans):.3f} "
                   f"in-window answer acc {acc:.2f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
             if acc >= 0.95:

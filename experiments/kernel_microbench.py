@@ -69,11 +69,15 @@ def main():
     }
 
     def timed_min(fn, arg, reps=6):
-        jax.block_until_ready(fn(arg))
+        # device_get (host transfer of the reduced outputs) is the sync
+        # barrier: block_until_ready proved not to be one through the
+        # async remote relay for some programs (a (1024,16) chain "ran"
+        # in 9 us — physically impossible)
+        jax.device_get(fn(arg))
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(arg))
+            jax.device_get(fn(arg))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 

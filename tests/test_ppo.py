@@ -16,7 +16,7 @@ def test_rollout_shapes():
 
     Xd, yd = sample_gp_tasks(key, 1, 12, 2)
     params = policy.init(key, Xd, yd, Xd, jnp.ones((1, 12), bool))
-    trans, Xall, regret = rollout_episodes(
+    trans, Xall, regret, _init = rollout_episodes(
         policy, params, key, batch=4, n_cand=12, horizon=5
     )
     assert trans.actions.shape == (5, 4)
