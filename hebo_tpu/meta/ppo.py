@@ -88,9 +88,10 @@ class NAPPolicy(nn.Module):
         )
         h = jnp.concatenate([emb_c, emb_q], axis=1)
         key_ok = jnp.concatenate([ctx_mask, jnp.zeros((B, Nq), bool)], axis=1)
-        mask = jnp.broadcast_to(
-            key_ok[:, None, None, :], (B, self.n_heads, Nc + Nq, Nc + Nq)
-        )
+        # broadcastable (B, 1, 1, T) — an explicit (B, H, T, T) broadcast
+        # became a per-scan-step saved residual in the PPO replay backward
+        # (50×32×4×256×256 f32 ≈ 1.6 GB each → HBM OOM on chip)
+        mask = key_ok[:, None, None, :]
         for _ in range(self.n_layers):
             a = nn.MultiHeadDotProductAttention(
                 num_heads=self.n_heads, qkv_features=self.d_model
@@ -244,13 +245,20 @@ def ppo_train(
         advs, returns = _gae(trans.rewards, trans.values)
         advs = (advs - advs.mean()) / (advs.std() + 1e-8)
 
+        # remat: recompute each replay step's forward in the backward
+        # instead of saving per-step attention activations (3 layers ×
+        # horizon × (B, H, T, T) would not fit HBM)
+        apply_ckpt = jax.checkpoint(
+            lambda p, yc, mask_: policy.apply(p, Xall, yc, Xall, mask_)
+        )
+
         def loss_fn(p):
             # recompute logits along the episode by replaying the stored
             # (action, observed-y) trace
             def replay(carry, t):
                 yc_obs, obs_mask = carry
-                logits, value = policy.apply(
-                    p, Xall, yc_obs[..., None], Xall, obs_mask
+                logits, value = apply_ckpt(
+                    p, yc_obs[..., None], obs_mask
                 )
                 logits = jnp.where(obs_mask, -1e9, logits)
                 a = trans.actions[t]
