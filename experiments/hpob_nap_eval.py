@@ -113,9 +113,13 @@ def main():
         mu = yb[:, :N_INIT].mean(axis=1, keepdims=True)
         sd = yb[:, :N_INIT].std(axis=1, keepdims=True) + 1e-6
         # near-constant inits (common in discrete accuracy tables) make
-        # sd collapse and normalized y explode to ~1e6 — clip to a
-        # bounded range (applied identically at eval)
-        ybn = jnp.clip((yb - mu) / sd, -10.0, 10.0)
+        # sd collapse and normalized y explode to ~1e6.  A hard clip
+        # collapsed the whole top cluster to one value (PPO regret signal
+        # and final-pick discrimination both died at the floor); the
+        # signed log1p squash keeps ordering at every magnitude while
+        # bounding the transformer inputs (applied identically at eval).
+        z = (yb - mu) / sd
+        ybn = jnp.sign(z) * jnp.log1p(jnp.abs(z))
         return Xb, ybn[..., None]
 
     policy = NAPPolicy(dim_x=d, d_model=D_MODEL, n_layers=N_LAYERS)
@@ -158,7 +162,8 @@ def main():
         init_vals = yb[:, :N_INIT]
         mu = init_vals.mean(axis=1, keepdims=True)
         sd = init_vals.std(axis=1, keepdims=True) + 1e-6
-        ybn = np.clip((yb - mu) / sd, -10.0, 10.0)
+        z = (yb - mu) / sd
+        ybn = np.sign(z) * np.log1p(np.abs(z))
         mask0 = np.zeros((B, SUB_CAND), bool)
         mask0[:, :N_INIT] = True
         yc0 = np.where(mask0, ybn, 0.0).astype(np.float32)
@@ -205,7 +210,7 @@ def main():
         n_iters=TRAIN_ITERS, batch=BATCH, n_cand=SUB_CAND, horizon=HORIZON,
         task_sampler=sampler, n_init=N_INIT, init_params=pre_params,
         eval_fn=val_score, eval_every=max(TRAIN_ITERS // 12, 1),
-        ent_coef=0.003,
+        ent_coef=0.003, span_reward=True,
     )
     t_ppo = time.time() - t0
     vs = val_score(params)

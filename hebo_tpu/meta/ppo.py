@@ -121,6 +121,7 @@ class Transitions(NamedTuple):
 def rollout_episodes(
     policy: NAPPolicy, params, key, *, batch: int, n_cand: int, horizon: int,
     top_k: int = 0, top_p: float = 1.0, task_sampler=None, n_init: int = 0,
+    span_reward: bool = False,
 ):
     """Vectorized BO episodes on freshly sampled tasks.
 
@@ -135,6 +136,15 @@ def rollout_episodes(
     Xall, yall = sampler(kt, batch, n_cand, policy.dim_x)
     y_flat = yall[..., 0]
     y_min = jnp.min(y_flat, axis=1)  # (B,)
+    if span_reward:
+        # normalized-accuracy-gain reward: improvement scaled by the
+        # episode's candidate-value span, so every episode contributes a
+        # comparable [0, 1]-total signal regardless of its y scale
+        r_scale = 1.0 / jnp.maximum(
+            jnp.max(y_flat, axis=1) - y_min, 1e-6
+        )
+    else:
+        r_scale = jnp.ones((batch,))
 
     def step(carry, k):
         yc_obs, obs_mask, best = carry
@@ -148,7 +158,7 @@ def rollout_episodes(
         logp = jax.nn.log_softmax(logits)[jnp.arange(batch), a]
         y_a = y_flat[jnp.arange(batch), a]
         new_best = jnp.minimum(best, y_a)
-        reward = best - new_best  # regret improvement ≥ 0
+        reward = (best - new_best) * r_scale  # regret improvement ≥ 0
         obs_mask = obs_mask.at[jnp.arange(batch), a].set(True)
         yc_obs = yc_obs.at[jnp.arange(batch), a].set(y_a)
         return (yc_obs, obs_mask, new_best), (a, logp, value, reward, y_a)
@@ -217,6 +227,7 @@ def ppo_train(
     init_params=None,
     eval_fn=None,
     eval_every: int = 0,
+    span_reward: bool = False,
 ):
     """PPO loop.  With ``mesh`` set, episodes shard across devices and the
     gradient is psum-reduced (the DDP analog).
@@ -241,6 +252,7 @@ def ppo_train(
         trans, Xall, mean_regret, ep_init = rollout_episodes(
             policy, params, k, batch=batch, n_cand=n_cand, horizon=horizon,
             task_sampler=task_sampler, n_init=n_init,
+            span_reward=span_reward,
         )
         advs, returns = _gae(trans.rewards, trans.values)
         advs = (advs - advs.mean()) / (advs.std() + 1e-8)
