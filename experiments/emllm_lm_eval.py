@@ -3,11 +3,11 @@
 The r3 eval scored retrieval on synthetic embeddings; this one measures
 answer accuracy through a real model's attention states end to end:
 
-1. Train a tiny GPT-2 (2 layers, d=64, 16-token vocab) from scratch on
+1. Train a tiny GPT-2 (2 layers, d=64, 324-token vocab) from scratch on
    deterministic synthetic key-value text: sequences of facts
-   ``KEY k1 k2 k3 k4 VAL v1 v2 v3 SEP`` followed by a query
-   ``QUERY k1..k4 ARROW`` whose answer is the fact's 3 value digits.
-   The model learns in-window associative lookup (induction attention).
+   ``k v SEP`` (single-token keys/values) followed by a query
+   ``QUERY k ARROW`` whose answer is the fact's value token — the
+   textbook induction-head task (match the key, copy its successor).
 2. Build 32k/65k/131k-token streams of filler facts with ONE needle fact
    (key drawn from a range excluded from fillers), stream them through
    ``EMLLMRunner`` (surprise segmentation → episodic KV → two-stage
@@ -42,35 +42,33 @@ import numpy as np
 # are TWO key-alphabet tokens (1936 combos) — matchable by a 2-3 layer
 # induction circuit; needle keys use a reserved first symbol excluded
 # from fillers, so the queried fact is unique in the stream.
-KEY, VAL, QUERY, ARROW, SEP, BOS = 10, 11, 12, 13, 14, 15
-KA0, KA_N = 16, 44
-VOCAB = KA0 + KA_N
-N_RESERVED = 4  # first symbols KA0..KA0+3 are needle-only
-FACT_LEN = 8    # KEY k1 k2 VAL v1 v2 v3 SEP
-SEQ_LEN = 512
+QUERY, ARROW, SEP, BOS = 0, 1, 2, 3
+K0, K_N = 4, 256      # key tokens
+V0, V_N = 260, 64     # value tokens
+VOCAB = V0 + V_N
+N_RESERVED = 8        # keys K0..K0+7 are needle-only (unique in streams)
+FACT_LEN = 3          # k v SEP — textbook induction: match the key
+                      # token, copy the token after it
+SEQ_LEN = 256
 N_POSITIONS = 1024
-N_FACTS_TRAIN = (SEQ_LEN - 8) // FACT_LEN  # 63 facts + query + answer
+N_FACTS_TRAIN = (SEQ_LEN - 6) // FACT_LEN
 
 N_EPISODES = int(os.environ.get("EMLLM_EPISODES", 8))
 LENGTHS = (32768, 65536, 131072)
 MAX_STEPS = int(os.environ.get("EMLLM_TRAIN_STEPS", 4000))
-CHUNK = 512
+CHUNK = 256
 
 
 def digits(v, n):
     return [int(c) for c in str(v).zfill(n)]
 
 
-def key_tokens(k1, k2):
-    return [KA0 + int(k1), KA0 + int(k2)]
+def make_fact(k, val):
+    return [K0 + int(k), V0 + int(val), SEP]
 
 
-def make_fact(k1, k2, val):
-    return [KEY] + key_tokens(k1, k2) + [VAL] + digits(val, 3) + [SEP]
-
-
-def make_query(k1, k2):
-    return [QUERY] + key_tokens(k1, k2) + [ARROW]
+def make_query(k):
+    return [QUERY, K0 + int(k), ARROW]
 
 
 def sample_keys(rng, n, reserved=False):
@@ -89,33 +87,22 @@ def train_batch(rng, batch):
     on the lookup task)."""
     xs, lbl = [], []
     for _ in range(batch):
-        # mix of filler and (sometimes) reserved-symbol keys so needle
-        # keys are in-distribution at eval
-        k1 = rng.integers(0, KA_N, size=N_FACTS_TRAIN)
-        k2 = rng.integers(0, KA_N, size=N_FACTS_TRAIN)
-        # dedupe collisions: keep first occurrence queryable
-        vals = rng.integers(0, 1000, size=N_FACTS_TRAIN)
+        # distinct keys within a sequence (queries are unambiguous);
+        # all 256 key tokens appear in training, so reserved needle keys
+        # are in-distribution at eval
+        keys = rng.choice(K_N, size=N_FACTS_TRAIN, replace=False)
+        vals = rng.integers(0, V_N, size=N_FACTS_TRAIN)
         toks = [BOS]
-        for a, b, v in zip(k1, k2, vals):
-            toks.extend(make_fact(int(a), int(b), int(v)))
+        for a, v in zip(keys, vals):
+            toks.extend(make_fact(int(a), int(v)))
         qi = int(rng.integers(0, N_FACTS_TRAIN))
-        # query the LAST occurrence of a duplicated key is ambiguous —
-        # re-draw qi until its key is unique in this sequence
-        for _try in range(8):
-            dup = ((k1 == k1[qi]) & (k2 == k2[qi])).sum()
-            if dup == 1:
-                break
-            qi = int(rng.integers(0, N_FACTS_TRAIN))
-        toks.extend(make_query(int(k1[qi]), int(k2[qi])))
-        ans = digits(int(vals[qi]), 3)
-        toks.extend(ans)
+        toks.extend(make_query(int(keys[qi])))
+        toks.append(V0 + int(vals[qi]))
         toks = toks[:SEQ_LEN]
         pad = SEQ_LEN - len(toks)
         xs.append(toks + [SEP] * pad)
         m = [-100] * SEQ_LEN
-        a0 = len(toks) - 3
-        for j in range(3):
-            m[a0 + j] = toks[a0 + j]
+        m[len(toks) - 1] = toks[len(toks) - 1]
         lbl.append(m)
     return np.asarray(xs), np.asarray(lbl)
 
@@ -126,8 +113,8 @@ def train_model():
 
     torch.manual_seed(0)
     cfg = GPT2Config(
-        vocab_size=VOCAB, n_positions=N_POSITIONS, n_embd=96, n_layer=3,
-        n_head=4, resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+        vocab_size=VOCAB, n_positions=N_POSITIONS, n_embd=64, n_layer=2,
+        n_head=2, resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
     )
     model = GPT2LMHeadModel(cfg)
     opt = torch.optim.AdamW(model.parameters(), lr=1e-3)
@@ -135,7 +122,7 @@ def train_model():
     t0 = time.time()
     acc = 0.0
     for step in range(MAX_STEPS):
-        xs, lbl = train_batch(rng, 16)
+        xs, lbl = train_batch(rng, 24)
         x = torch.tensor(xs, dtype=torch.long)
         labels = torch.tensor(lbl, dtype=torch.long)
         # random position offset: eval feeds retrieved-KV prefixes, so
@@ -170,18 +157,16 @@ def train_model():
     return model, acc, time.time() - t0, step + 1
 
 
-def greedy_answer(model, toks):
+def greedy_answer(model, toks, n_new=1):
     import torch
 
     with torch.no_grad():
         x = torch.tensor([toks], dtype=torch.long)
         out = model(x, use_cache=True)
         ans = []
-        total = len(toks)
-        for _ in range(3):
+        for _ in range(n_new):
             t = int(out.logits[0, -1].argmax())
             ans.append(t)
-            total += 1
             out = model(
                 torch.tensor([[t]], dtype=torch.long),
                 past_key_values=out.past_key_values,
@@ -194,22 +179,22 @@ def eval_in_window(model, rng, n_ep):
     """Oracle skyline: needle + query inside one native window."""
     hits = 0
     for _ in range(n_ep):
-        k1 = rng.integers(N_RESERVED, KA_N, size=N_FACTS_TRAIN)
-        k2 = rng.integers(0, KA_N, size=N_FACTS_TRAIN)
-        vals = rng.integers(0, 1000, size=N_FACTS_TRAIN)
-        nk1 = int(rng.integers(0, N_RESERVED))
-        nk2 = int(rng.integers(0, KA_N))
-        nval = int(rng.integers(0, 1000))
+        keys = rng.choice(
+            np.arange(N_RESERVED, K_N), size=N_FACTS_TRAIN, replace=False
+        )
+        vals = rng.integers(0, V_N, size=N_FACTS_TRAIN)
+        nk = int(rng.integers(0, N_RESERVED))
+        nval = int(rng.integers(0, V_N))
         pos = int(rng.integers(0, N_FACTS_TRAIN))
         toks = [BOS]
-        for i, (a, b, v) in enumerate(zip(k1, k2, vals)):
+        for i, (a, v) in enumerate(zip(keys, vals)):
             if i == pos:
-                toks.extend(make_fact(nk1, nk2, nval))
+                toks.extend(make_fact(nk, nval))
             else:
-                toks.extend(make_fact(int(a), int(b), int(v)))
-        toks.extend(make_query(nk1, nk2))
-        ans = greedy_answer(model, toks[:SEQ_LEN - 3])
-        hits += int(ans == digits(nval, 3))
+                toks.extend(make_fact(int(a), int(v)))
+        toks.extend(make_query(nk))
+        ans = greedy_answer(model, toks[:SEQ_LEN - 1])
+        hits += int(ans == [V0 + nval])
     return hits / n_ep
 
 
@@ -218,23 +203,21 @@ def episode_stream(rng, total_len):
     reserved first symbol (unique by construction) placed in the first
     half (genuinely long-range), + final query."""
     n_facts = (total_len - 12) // FACT_LEN
-    k1 = rng.integers(N_RESERVED, KA_N, size=n_facts)
-    k2 = rng.integers(0, KA_N, size=n_facts)
-    vals = rng.integers(0, 1000, size=n_facts)
-    nk1 = int(rng.integers(0, N_RESERVED))
-    nk2 = int(rng.integers(0, KA_N))
-    needle_val = int(rng.integers(0, 1000))
+    keys = rng.integers(N_RESERVED, K_N, size=n_facts)
+    vals = rng.integers(0, V_N, size=n_facts)
+    nk = int(rng.integers(0, N_RESERVED))
+    needle_val = int(rng.integers(0, V_N))
     pos = int(rng.integers(0, n_facts // 2))
     toks = [BOS]
-    for i, (a, b, v) in enumerate(zip(k1, k2, vals)):
+    for i, (a, v) in enumerate(zip(keys, vals)):
         if i == pos:
-            toks.extend(make_fact(nk1, nk2, needle_val))
+            toks.extend(make_fact(nk, needle_val))
         else:
-            toks.extend(make_fact(int(a), int(b), int(v)))
+            toks.extend(make_fact(int(a), int(v)))
     return (
         np.asarray(toks, np.int64),
-        np.asarray(make_query(nk1, nk2), np.int64),
-        digits(needle_val, 3),
+        np.asarray(make_query(nk), np.int64),
+        [V0 + needle_val],
     )
 
 
@@ -257,10 +240,10 @@ def main():
                 event_len=16,
             )
             runner.process(ctx)
-            ans = runner.generate(query, 3)
+            ans = runner.generate(query, 1)
             em_hits += int(ans == answer)
             # truncation floor: last native window only, no memory
-            tail = list(ctx[-(SEQ_LEN - len(query) - 3):]) + list(query)
+            tail = list(ctx[-(SEQ_LEN - len(query) - 1):]) + list(query)
             ans_t = greedy_answer(model, tail)
             trunc_hits += int(ans_t == answer)
         # oracle skyline on fresh same-rng episodes

@@ -18,11 +18,11 @@ Evaluation is unchanged (HPO-B protocol: 28 held-out test datasets,
 5 seeds, shared 5-point init, 100 steps, NAP.json leaf schema), but runs
 as ONE jitted scan per chunk instead of a host loop.
 
-Miniaturization note (documented, not hidden): the policy acts on a
-128-candidate random sub-domain per episode (SUB_CAND) (the
-transformer's context budget), so its curves lower-bound a full-domain
-policy; the GP/Random arms in hpob_vs_reference.json search all 1000
-candidates.
+Sub-domain note: the policy acts on a SUB_CAND-candidate random
+sub-domain per episode (r4 default 512 — the r3 128-candidate domain
+saturated under the 100-step budget: any policy, including Random,
+nearly exhausts it, leaving no discrimination headroom); the GP/Random
+arms in hpob_vs_reference.json search all 1000 candidates.
 
     python experiments/hpob_nap_eval.py            # TPU (fast)
     env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu PYTHONPATH=. \
@@ -50,7 +50,7 @@ from experiments.hpob_real import (
 N_SEEDS = int(os.environ.get("HPOB_SEEDS", 5))
 N_INIT = 5
 N_STEPS = int(os.environ.get("HPOB_STEPS", 100))
-SUB_CAND = 128
+SUB_CAND = int(os.environ.get("NAP_SUBCAND", 512))
 PRETRAIN_ITERS = int(os.environ.get("NAP_PRETRAIN_ITERS", 1500))
 TRAIN_ITERS = int(os.environ.get("NAP_ITERS", 600))
 HORIZON = int(os.environ.get("NAP_HORIZON", 50))
