@@ -55,7 +55,7 @@ N_FACTS_TRAIN = (SEQ_LEN - 6) // FACT_LEN
 
 N_EPISODES = int(os.environ.get("EMLLM_EPISODES", 8))
 LENGTHS = (32768, 65536, 131072)
-MAX_STEPS = int(os.environ.get("EMLLM_TRAIN_STEPS", 4000))
+MAX_STEPS = int(os.environ.get("EMLLM_TRAIN_STEPS", 20000))
 CHUNK = 256
 
 
@@ -105,6 +105,78 @@ def train_batch(rng, batch):
         m[len(toks) - 1] = toks[len(toks) - 1]
         lbl.append(m)
     return np.asarray(xs), np.asarray(lbl)
+
+
+def train_model_flax():
+    """Train on the TPU with FlaxGPT2 (same config/objective as the torch
+    path), then convert weights to torch for the EMLLMRunner eval.  The
+    2-CPU host cannot drive enough steps for induction-circuit formation
+    (overfit test passes — the loop is correct — but 1500 steps at batch
+    24 stays at chance); the chip runs 20k steps in minutes."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from transformers import FlaxGPT2LMHeadModel, GPT2Config, GPT2LMHeadModel
+
+    cfg = GPT2Config(
+        vocab_size=VOCAB, n_positions=N_POSITIONS, n_embd=64, n_layer=2,
+        n_head=2, resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+    )
+    fmodel = FlaxGPT2LMHeadModel(cfg, seed=0)
+    params = fmodel.params
+    opt = optax.adamw(1e-3, weight_decay=0.01)
+    opt_state = opt.init(params)
+    rng = np.random.default_rng(0)
+
+    @jax.jit
+    def step_fn(params, opt_state, x, labels, pos):
+        def loss_fn(p):
+            logits = fmodel(input_ids=x, position_ids=pos, params=p).logits
+            lp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+            tgt = x[:, 1:]
+            ce_all = -jnp.take_along_axis(lp, tgt[..., None], axis=-1)[..., 0]
+            ce = jnp.mean(ce_all)
+            lsh = labels[:, 1:]
+            m = (lsh != -100).astype(jnp.float32)
+            tgt_a = jnp.maximum(lsh, 0)
+            ce_tok = -jnp.take_along_axis(lp, tgt_a[..., None], axis=-1)[..., 0]
+            ce_ans = jnp.sum(ce_tok * m) / jnp.maximum(jnp.sum(m), 1.0)
+            return ce + 5.0 * ce_ans, (ce, ce_ans)
+
+        (loss, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        up, opt_state = opt.update(g, opt_state, params)
+        params = optax.apply_updates(params, up)
+        return params, opt_state, aux
+
+    BATCH = 64
+    t0 = time.time()
+    ce = ce_ans = None
+    for step in range(MAX_STEPS):
+        xs, lbl = train_batch(rng, BATCH)
+        off = int(rng.integers(0, N_POSITIONS - SEQ_LEN))
+        pos = np.broadcast_to(
+            np.arange(off, off + SEQ_LEN)[None], xs.shape
+        ).copy()
+        params, opt_state, (ce, ce_ans) = step_fn(
+            params, opt_state, jnp.asarray(xs), jnp.asarray(lbl),
+            jnp.asarray(pos),
+        )
+        if (step + 1) % 500 == 0:
+            print(f"step {step+1}: lm {float(ce):.3f} ans "
+                  f"{float(ce_ans):.3f} ({time.time()-t0:.0f}s)", flush=True)
+            if float(ce_ans) < 0.05:
+                break
+    # convert to torch for the (torch-driven) EMLLMRunner
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="emllm_flax_")
+    fmodel.params = params
+    fmodel.save_pretrained(d)
+    model = GPT2LMHeadModel.from_pretrained(d, from_flax=True).eval()
+    rng_e = np.random.default_rng(123)
+    acc = eval_in_window(model, rng_e, 25)
+    print(f"converted to torch; in-window oracle acc {acc:.2f}", flush=True)
+    return model, acc, time.time() - t0, step + 1
 
 
 def train_model():
@@ -224,7 +296,12 @@ def episode_stream(rng, total_len):
 def main():
     from hebo_tpu.emllm.hf_integration import EMLLMRunner
 
-    model, train_acc, t_train, steps = train_model()
+    import jax as _jax
+
+    if _jax.default_backend() == "tpu":
+        model, train_acc, t_train, steps = train_model_flax()
+    else:
+        model, train_acc, t_train, steps = train_model()
     print(f"trained {steps} steps in {t_train:.0f}s; "
           f"in-window oracle acc {train_acc:.2f}", flush=True)
 
