@@ -55,7 +55,7 @@ N_FACTS_TRAIN = (SEQ_LEN - 6) // FACT_LEN
 
 N_EPISODES = int(os.environ.get("EMLLM_EPISODES", 8))
 LENGTHS = (32768, 65536, 131072)
-MAX_STEPS = int(os.environ.get("EMLLM_TRAIN_STEPS", 20000))
+MAX_STEPS = int(os.environ.get("EMLLM_TRAIN_STEPS", 150000))
 CHUNK = 256
 
 
@@ -68,7 +68,9 @@ def make_fact(k, val):
 
 
 def make_query(k):
-    return [QUERY, K0 + int(k), ARROW]
+    # answer is predicted AT the key position (pure induction: the value
+    # followed this key before); no ARROW indirection
+    return [QUERY, K0 + int(k)]
 
 
 def sample_keys(rng, n, reserved=False):
@@ -87,22 +89,33 @@ def train_batch(rng, batch):
     on the lookup task)."""
     xs, lbl = [], []
     for _ in range(batch):
-        # distinct keys within a sequence (queries are unambiguous);
-        # all 256 key tokens appear in training, so reserved needle keys
-        # are in-distribution at eval
-        keys = rng.choice(K_N, size=N_FACTS_TRAIN, replace=False)
-        vals = rng.integers(0, V_N, size=N_FACTS_TRAIN)
+        # in-context REPEATED facts: each key appears ~3x per sequence
+        # (same key → same value), so the plain LM loss on repeated
+        # values rewards the induction circuit densely (a single
+        # end-of-sequence query gave it nothing to form on — the
+        # distinct-key variants plateaued at chance; the pure-copy
+        # ablation confirmed the architecture forms induction), plus
+        # THREE query/answer pairs per sequence.
+        n_facts = N_FACTS_TRAIN - 3
+        pool = rng.choice(K_N, size=max(2, n_facts // 3), replace=False)
+        pool_vals = rng.integers(0, V_N, size=len(pool))
+        slots = rng.integers(0, len(pool), size=n_facts)
         toks = [BOS]
-        for a, v in zip(keys, vals):
-            toks.extend(make_fact(int(a), int(v)))
-        qi = int(rng.integers(0, N_FACTS_TRAIN))
-        toks.extend(make_query(int(keys[qi])))
-        toks.append(V0 + int(vals[qi]))
+        for si in slots:
+            toks.extend(make_fact(int(pool[si]), int(pool_vals[si])))
+        ans_pos = []
+        for _q in range(3):
+            qi = int(slots[rng.integers(0, n_facts)])
+            toks.extend(make_query(int(pool[qi])))
+            ans_pos.append(len(toks))
+            toks.append(V0 + int(pool_vals[qi]))
         toks = toks[:SEQ_LEN]
         pad = SEQ_LEN - len(toks)
         xs.append(toks + [SEP] * pad)
         m = [-100] * SEQ_LEN
-        m[len(toks) - 1] = toks[len(toks) - 1]
+        for ap in ans_pos:
+            if ap < SEQ_LEN:
+                m[ap] = toks[ap]
         lbl.append(m)
     return np.asarray(xs), np.asarray(lbl)
 
@@ -119,12 +132,17 @@ def train_model_flax():
     from transformers import FlaxGPT2LMHeadModel, GPT2Config, GPT2LMHeadModel
 
     cfg = GPT2Config(
-        vocab_size=VOCAB, n_positions=N_POSITIONS, n_embd=64, n_layer=2,
-        n_head=2, resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+        vocab_size=VOCAB, n_positions=N_POSITIONS, n_embd=128, n_layer=3,
+        n_head=4, resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
     )
     fmodel = FlaxGPT2LMHeadModel(cfg, seed=0)
     params = fmodel.params
-    opt = optax.adamw(1e-3, weight_decay=0.01)
+    opt = optax.adamw(
+        optax.warmup_cosine_decay_schedule(
+            0.0, 6e-4, 2000, MAX_STEPS, 1e-4
+        ),
+        weight_decay=0.01,
+    )
     opt_state = opt.init(params)
     rng = np.random.default_rng(0)
 
@@ -153,18 +171,16 @@ def train_model_flax():
     ce = ce_ans = None
     for step in range(MAX_STEPS):
         xs, lbl = train_batch(rng, BATCH)
-        off = int(rng.integers(0, N_POSITIONS - SEQ_LEN))
-        pos = np.broadcast_to(
-            np.arange(off, off + SEQ_LEN)[None], xs.shape
-        ).copy()
+        # positions start at 0 (the runner restarts positions per chunk)
+        pos = np.broadcast_to(np.arange(SEQ_LEN)[None], xs.shape).copy()
         params, opt_state, (ce, ce_ans) = step_fn(
             params, opt_state, jnp.asarray(xs), jnp.asarray(lbl),
             jnp.asarray(pos),
         )
-        if (step + 1) % 500 == 0:
+        if (step + 1) % 5000 == 0:
             print(f"step {step+1}: lm {float(ce):.3f} ans "
                   f"{float(ce_ans):.3f} ({time.time()-t0:.0f}s)", flush=True)
-            if float(ce_ans) < 0.05:
+            if float(ce_ans) < 0.3:
                 break
     # convert to torch for the (torch-driven) EMLLMRunner
     import tempfile
@@ -265,7 +281,7 @@ def eval_in_window(model, rng, n_ep):
             else:
                 toks.extend(make_fact(int(a), int(v)))
         toks.extend(make_query(nk))
-        ans = greedy_answer(model, toks[:SEQ_LEN - 1])
+        ans = greedy_answer(model, toks[: SEQ_LEN - 1])
         hits += int(ans == [V0 + nval])
     return hits / n_ep
 

@@ -198,10 +198,16 @@ class EMLLMRunner:
                 past, n_past = self._retrieve_past(q_proxy)
                 retrieved_hist.append(n_past)
                 att = torch.ones((1, n_past + len(chunk)), dtype=torch.long)
+                # positions restart at 0 every chunk: retrieved-KV
+                # prefixes carry no positional coherence anyway, and the
+                # default past-offset positions would leave the model's
+                # trained position range (the streaming convention)
+                pos = torch.arange(len(chunk), dtype=torch.long)[None]
                 out = self.model(
                     x,
                     past_key_values=self._to_cache(past),
                     attention_mask=att,
+                    position_ids=pos,
                     use_cache=True,
                 )
                 logits = out.logits[0]  # (T, V)
@@ -253,10 +259,11 @@ class EMLLMRunner:
                 x,
                 past_key_values=self._to_cache(past),
                 attention_mask=torch.ones((1, total), dtype=torch.long),
+                position_ids=torch.arange(len(q), dtype=torch.long)[None],
                 use_cache=True,
             )
             toks: List[int] = []
-            for _ in range(n_new):
+            for i in range(n_new):
                 t = int(out.logits[0, -1].argmax())
                 toks.append(t)
                 total += 1
@@ -264,6 +271,9 @@ class EMLLMRunner:
                     torch.tensor([[t]], dtype=torch.long),
                     past_key_values=out.past_key_values,
                     attention_mask=torch.ones((1, total), dtype=torch.long),
+                    position_ids=torch.tensor(
+                        [[len(q) + i]], dtype=torch.long
+                    ),
                     use_cache=True,
                 )
         return toks
