@@ -55,7 +55,7 @@ N_FACTS_TRAIN = (SEQ_LEN - 6) // FACT_LEN
 
 N_EPISODES = int(os.environ.get("EMLLM_EPISODES", 8))
 LENGTHS = (32768, 65536, 131072)
-MAX_STEPS = int(os.environ.get("EMLLM_TRAIN_STEPS", 150000))
+MAX_STEPS = int(os.environ.get("EMLLM_TRAIN_STEPS", 80000))
 CHUNK = 256
 
 
@@ -136,6 +136,25 @@ def train_model_flax():
         n_head=4, resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
     )
     fmodel = FlaxGPT2LMHeadModel(cfg, seed=0)
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "emllm_ckpt")
+    if os.path.exists(os.path.join(ckpt, "flax_model.msgpack")):
+        # reuse the trained checkpoint (training is deterministic)
+        from transformers.modeling_flax_pytorch_utils import (
+            load_flax_weights_in_pytorch_model,
+        )
+        from transformers import GPT2LMHeadModel as _T
+
+        fmodel = FlaxGPT2LMHeadModel.from_pretrained(ckpt)
+        model = _T(cfg)
+        model = load_flax_weights_in_pytorch_model(
+            model, fmodel.params
+        ).eval()
+        rng_e = np.random.default_rng(123)
+        acc = eval_in_window(model, rng_e, 25)
+        print(f"loaded checkpoint; in-window oracle acc {acc:.2f}",
+              flush=True)
+        return model, acc, 0.0, 0
     params = fmodel.params
     opt = optax.adamw(
         optax.warmup_cosine_decay_schedule(
@@ -182,13 +201,19 @@ def train_model_flax():
                   f"{float(ce_ans):.3f} ({time.time()-t0:.0f}s)", flush=True)
             if float(ce_ans) < 0.3:
                 break
-    # convert to torch for the (torch-driven) EMLLMRunner
-    import tempfile
+    # convert to torch for the (torch-driven) EMLLMRunner — direct
+    # weight conversion (from_pretrained(from_flax=True) left the torch
+    # model on meta tensors in this transformers version)
+    from transformers.modeling_flax_pytorch_utils import (
+        load_flax_weights_in_pytorch_model,
+    )
 
-    d = tempfile.mkdtemp(prefix="emllm_flax_")
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "emllm_ckpt")
     fmodel.params = params
-    fmodel.save_pretrained(d)
-    model = GPT2LMHeadModel.from_pretrained(d, from_flax=True).eval()
+    fmodel.save_pretrained(ckpt)
+    model = GPT2LMHeadModel(cfg)
+    model = load_flax_weights_in_pytorch_model(model, params).eval()
     rng_e = np.random.default_rng(123)
     acc = eval_in_window(model, rng_e, 25)
     print(f"converted to torch; in-window oracle acc {acc:.2f}", flush=True)
