@@ -54,7 +54,8 @@ N_POSITIONS = 1024
 N_FACTS_TRAIN = (SEQ_LEN - 6) // FACT_LEN
 
 N_EPISODES = int(os.environ.get("EMLLM_EPISODES", 8))
-LENGTHS = (32768, 65536, 131072)
+LENGTHS = tuple(int(v) for v in os.environ.get(
+    "EMLLM_LENGTHS", "32768,65536,131072").split(","))
 MAX_STEPS = int(os.environ.get("EMLLM_TRAIN_STEPS", 80000))
 CHUNK = 256
 
@@ -292,19 +293,22 @@ def eval_in_window(model, rng, n_ep):
     """Oracle skyline: needle + query inside one native window."""
     hits = 0
     for _ in range(n_ep):
-        keys = rng.choice(
-            np.arange(N_RESERVED, K_N), size=N_FACTS_TRAIN, replace=False
-        )
-        vals = rng.integers(0, V_N, size=N_FACTS_TRAIN)
+        # match the training distribution: filler keys repeat ~3x and
+        # the needle (reserved key) appears twice
+        n_facts = N_FACTS_TRAIN - 3
+        pool = rng.choice(np.arange(N_RESERVED, K_N),
+                          size=max(2, n_facts // 3), replace=False)
+        pool_vals = rng.integers(0, V_N, size=len(pool))
+        slots = rng.integers(0, len(pool), size=n_facts)
         nk = int(rng.integers(0, N_RESERVED))
         nval = int(rng.integers(0, V_N))
-        pos = int(rng.integers(0, N_FACTS_TRAIN))
+        npos = sorted(rng.choice(n_facts, size=2, replace=False))
         toks = [BOS]
-        for i, (a, v) in enumerate(zip(keys, vals)):
-            if i == pos:
+        for i, si in enumerate(slots):
+            if i in npos:
                 toks.extend(make_fact(nk, nval))
             else:
-                toks.extend(make_fact(int(a), int(v)))
+                toks.extend(make_fact(int(pool[si]), int(pool_vals[si])))
         toks.extend(make_query(nk))
         ans = greedy_answer(model, toks[: SEQ_LEN - 1])
         hits += int(ans == [V0 + nval])
@@ -316,14 +320,26 @@ def episode_stream(rng, total_len):
     reserved first symbol (unique by construction) placed in the first
     half (genuinely long-range), + final query."""
     n_facts = (total_len - 12) // FACT_LEN
-    keys = rng.integers(N_RESERVED, K_N, size=n_facts)
-    vals = rng.integers(0, V_N, size=n_facts)
+    # training-distribution fillers: keys repeat ~3x WITHIN each local
+    # 256-token window (the model's lookup was trained on in-window
+    # repetition); the needle appears twice, far from the query
+    per_win = SEQ_LEN // FACT_LEN
+    keys = np.empty(n_facts, np.int64)
+    vals = np.empty(n_facts, np.int64)
+    for w0 in range(0, n_facts, per_win):
+        w = min(per_win, n_facts - w0)
+        pool = rng.choice(np.arange(N_RESERVED, K_N),
+                          size=max(2, w // 3), replace=False)
+        pv = rng.integers(0, V_N, size=len(pool))
+        si = rng.integers(0, len(pool), size=w)
+        keys[w0:w0 + w] = pool[si]
+        vals[w0:w0 + w] = pv[si]
     nk = int(rng.integers(0, N_RESERVED))
     needle_val = int(rng.integers(0, V_N))
-    pos = int(rng.integers(0, n_facts // 2))
+    npos = sorted(rng.choice(n_facts // 2, size=2, replace=False))
     toks = [BOS]
     for i, (a, v) in enumerate(zip(keys, vals)):
-        if i == pos:
+        if i in npos:
             toks.extend(make_fact(nk, needle_val))
         else:
             toks.extend(make_fact(int(a), int(v)))
@@ -339,7 +355,11 @@ def main():
 
     import jax as _jax
 
-    if _jax.default_backend() == "tpu":
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "emllm_ckpt", "flax_model.msgpack")
+    if _jax.default_backend() == "tpu" or os.path.exists(ckpt):
+        # fresh TPU training, or reuse of the persisted chip-trained
+        # checkpoint on any backend
         model, train_acc, t_train, steps = train_model_flax()
     else:
         model, train_acc, t_train, steps = train_model()
@@ -358,7 +378,10 @@ def main():
                 event_len=16,
             )
             runner.process(ctx)
-            ans = runner.generate(query, 1)
+            # query positions at end-of-window, matching training
+            ans = runner.generate(
+                query, 1, pos0=SEQ_LEN - len(query) - 2
+            )
             em_hits += int(ans == answer)
             # truncation floor: last native window only, no memory
             tail = list(ctx[-(SEQ_LEN - len(query) - 1):]) + list(query)

@@ -90,15 +90,16 @@ class EMLLMRunner:
         torch = self.torch
         past = []
         total = 0
-        per_layer = q_proxy.ndim == 3  # (L, H, Dh) per-layer proxies
+        per_layer = q_proxy.ndim >= 3  # (L, [T,] H, Dh) per-layer
         for li, mem in enumerate(self.memories):
             if len(mem) == 0:
                 past.append(None)
                 continue
             qp = q_proxy[li] if per_layer else q_proxy
             ids = mem.retrieve(
-                qp[None, :, :], k_sim=self.n_retrieve,
-                k_contig=self.n_contig,
+                qp if qp.ndim == 3 else qp[None, :, :],
+                k_sim=self.n_retrieve,
+                k_contig=self.n_contig, mode="full",
             )
             got = mem.gather_kv(ids)
             if got is None:
@@ -162,22 +163,24 @@ class EMLLMRunner:
         (L, H, Dh) per-layer proxies, or (H, Dh) in embedding fallback.
         """
         torch = self.torch
-        if self._gpt2_blocks is None:
-            emb = self.model.get_input_embeddings()(x)[0]
-            Dh = emb.shape[-1] // self.n_heads
-            return emb.mean(0).reshape(self.n_heads, Dh).numpy()
         with torch.no_grad():
+            if self._gpt2_blocks is None:
+                emb = self.model.get_input_embeddings()(x)[0]
+                Dh = emb.shape[-1] // self.n_heads
+                return emb.mean(0).reshape(self.n_heads, Dh).numpy()
             out = self.model(x, output_hidden_states=True, use_cache=False)
-        hs = out.hidden_states
-        proxies = []
-        for li, block in enumerate(self._gpt2_blocks):
-            h = block.ln_1(hs[li])
-            qkv = block.attn.c_attn(h)  # (1, T, 3D)
-            D = qkv.shape[-1] // 3
-            q = qkv[..., :D].mean(dim=1)[0]
-            Dh = D // self.n_heads
-            proxies.append(q.reshape(self.n_heads, Dh).numpy())
-        return np.stack(proxies)
+            hs = out.hidden_states
+            proxies = []
+            for li, block in enumerate(self._gpt2_blocks):
+                h = block.ln_1(hs[li])
+                qkv = block.attn.c_attn(h)  # (1, T, 3D)
+                D = qkv.shape[-1] // 3
+                Dh = D // self.n_heads
+                qt = qkv[0, :, :D]  # (T, D) per-token queries
+                proxies.append(
+                    qt.reshape(-1, self.n_heads, Dh).numpy()
+                )
+        return np.stack(proxies)  # (L, T, H, Dh) per-token
 
     # -------------------------------------------------------------- public
     def process(self, input_ids: np.ndarray) -> dict:
@@ -241,7 +244,8 @@ class EMLLMRunner:
         }
 
     def generate(
-        self, query_ids: np.ndarray, n_new: int = 3
+        self, query_ids: np.ndarray, n_new: int = 3,
+        pos0: Optional[int] = None,
     ) -> List[int]:
         """Greedy-decode ``n_new`` tokens after ``query_ids``, attending
         over the episodic memory built by previous ``process`` calls —
@@ -255,11 +259,17 @@ class EMLLMRunner:
             q_proxy = self._chunk_proxy(x)
             past, n_past = self._retrieve_past(q_proxy)
             total = n_past + len(q)
+            # pos0 places the query tokens where the model EXPECTS
+            # queries (models trained with end-of-window queries never
+            # saw one at position 0)
+            p0 = 0 if pos0 is None else int(pos0)
             out = self.model(
                 x,
                 past_key_values=self._to_cache(past),
                 attention_mask=torch.ones((1, total), dtype=torch.long),
-                position_ids=torch.arange(len(q), dtype=torch.long)[None],
+                position_ids=(
+                    p0 + torch.arange(len(q), dtype=torch.long)
+                )[None],
                 use_cache=True,
             )
             toks: List[int] = []
@@ -272,7 +282,7 @@ class EMLLMRunner:
                     past_key_values=out.past_key_values,
                     attention_mask=torch.ones((1, total), dtype=torch.long),
                     position_ids=torch.tensor(
-                        [[len(q) + i]], dtype=torch.long
+                        [[p0 + len(q) + i]], dtype=torch.long
                     ),
                     use_cache=True,
                 )

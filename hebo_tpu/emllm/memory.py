@@ -75,16 +75,36 @@ class EpisodicKVMemory:
         )
 
     def retrieve(
-        self, q: np.ndarray, k_sim: int = 4, k_contig: int = 2
+        self, q: np.ndarray, k_sim: int = 4, k_contig: int = 2,
+        mode: str = "reps",
     ) -> List[int]:
         """Two-stage retrieval for query block q (Tq, H, Dh) →
-        event indices (similarity winners + temporal neighbors)."""
+        event indices (similarity winners + temporal neighbors).
+
+        ``mode="reps"`` scores the high-norm representative keys (fast,
+        the original behavior); ``mode="full"`` max-pools the attention
+        score q·k over EVERY stored key row and head per event and over
+        the query tokens — the needle-finding mode (high-norm reps can
+        simply miss the matching key; measured on the tiny-LM eval)."""
         if not self._k:
             return []
-        reps = np.stack(self._reps)  # (E, R, H, Dh)
-        qf = q.reshape(-1, q.shape[-2] * q.shape[-1]).mean(0)
-        rf = reps.reshape(len(reps), self.n_rep, -1).max(axis=1)
-        scores = rf @ qf
+        if mode == "full":
+            K = np.stack(self._k)  # (E, L, H, Dh)
+            E, L, H, Dh = K.shape
+            lens = np.asarray(self._lens)
+            valid = np.arange(L)[None, :] < lens[:, None]  # (E, L)
+            # (E, L, H) scores for each query token, max-pooled
+            sc = np.full(E, -np.inf, np.float32)
+            for qt in q.reshape(-1, H, Dh):
+                s_t = np.einsum("elhd,hd->elh", K, qt)
+                s_t = np.where(valid[:, :, None], s_t, -np.inf)
+                sc = np.maximum(sc, s_t.max(axis=(1, 2)))
+            scores = sc
+        else:
+            reps = np.stack(self._reps)  # (E, R, H, Dh)
+            qf = q.reshape(-1, q.shape[-2] * q.shape[-1]).mean(0)
+            rf = reps.reshape(len(reps), self.n_rep, -1).max(axis=1)
+            scores = rf @ qf
         top = np.argsort(-scores)[:k_sim]
         chosen = set(int(t) for t in top)
         for t in top:  # contiguity stage
