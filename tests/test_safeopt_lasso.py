@@ -34,8 +34,12 @@ def test_safeopt_requires_safe_seed():
 
 def test_safeopt_stays_safe_and_improves():
     space = _space2()
+    # 30 pSGLD epochs: the 15-epoch fit is under-converged enough that
+    # the probabilistic beta=2.5 bound admits one excursion on some RNG
+    # streams (the r4 batched-restart fit legitimately changed the
+    # stream); the assertion stays strict
     opt = SafeOpt(space, safety_threshold=4.0, beta=2.5, seed=0,
-                  model_config={"num_epochs": 15})
+                  model_config={"num_epochs": 30})
     seed_df = pd.DataFrame({"x0": [1.0], "x1": [1.0]})
     opt.observe(seed_df, _f(seed_df))
     ys, viol = [], 0

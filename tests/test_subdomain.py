@@ -63,7 +63,7 @@ def test_subdomain_bo_improves(mode):
         return np.sum((x - 0.5) ** 2, axis=1, keepdims=True)
 
     opt = SubDomainBO(space, mode=mode, n_init=5,
-                      model_config={"num_epochs": 12})
+                      model_config={"num_epochs": 20})
     for i in range(14):
         rec = opt.suggest(1)
         y = f(rec)
