@@ -82,7 +82,7 @@ def main():
         return min(ts)
 
     d = 6
-    for n_pad, batches in ((256, (16, 64, 128)), (1024, (16, 64))):
+    for n_pad, batches in ((256, (16, 64, 128)), (1024, (16, 64, 128))):
         space = DesignSpace().parse(
             [
                 {"name": f"x{i}", "type": "num", "lb": -5.0, "ub": 5.0}
