@@ -79,14 +79,23 @@ def main():
                     default="lasso,linear,DT,kNN,SVM,ada,RF",
                     help="comma list (r4 default: 7-model breadth)")
     ap.add_argument("--datasets", default="breast,diabetes,wine")
+    ap.add_argument("--studies", default="",
+                    help="explicit 'model:dataset,...' pairs; overrides "
+                         "--models/--datasets (sharded r5 breadth runs)")
     ap.add_argument("--out", default="experiments/bayesmark_results.json")
     args = ap.parse_args()
 
-    from hebo_tpu.tasks.bayesmark import suite
+    from hebo_tpu.tasks.bayesmark import BayesmarkTask, suite
 
     if args.fast:
         tasks = suite(models=("SVM", "DT"), datasets=("breast",))
         rounds, seeds, rr = 6, 2, 4
+    elif args.studies:
+        tasks = [
+            BayesmarkTask(model=s.split(":")[0], dataset=s.split(":")[1])
+            for s in args.studies.split(",")
+        ]
+        rounds, seeds, rr = args.rounds, args.seeds, args.rand_repeats
     else:
         tasks = suite(models=tuple(args.models.split(",")),
                       datasets=tuple(args.datasets.split(",")))
@@ -112,8 +121,17 @@ def main():
         normed = np.clip((perf - opt_est) / denom[None, :], 0.0, 1.0)
         score = 100.0 * (1.0 - normed)  # (seeds, rounds)
         fin = score[:, -1]
+        # discrimination check (VERDICT r4 weak #5): when the random
+        # baseline's final loss ≈ the pooled optimum, every method clips
+        # to 100 and the study carries no signal — flag, don't hide
+        rel_signal = float(
+            (base[-1] - opt_est)
+            / max(abs(base[-1]), abs(opt_est), 1e-9)
+        )
         results.append({
             "task": task.name,
+            "baseline_signal_rel": round(rel_signal, 6),
+            "no_signal": bool(rel_signal < 1e-3),
             "final_score_mean": round(float(fin.mean()), 2),
             "final_score_2se": round(
                 float(2 * fin.std(ddof=1) / np.sqrt(seeds)) if seeds > 1

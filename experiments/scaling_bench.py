@@ -100,6 +100,34 @@ def bench_hebo_suggest(mesh, reps=3, n_dev=1):
     return (time.perf_counter() - t0) / reps
 
 
+def bench_hebo_suggest_large_n(mesh, n_obs=2500, reps=2):
+    """Bucket-4096 suggest through the large-N product path (VERDICT r4
+    next #8): above ``max_cholesky_size`` the suggest pipeline runs the
+    subsampled fit + block-sharded posterior factorization
+    (``ops/block_chol.block_cholesky_sharded`` on the mesh) + evolution
+    acq — the one multi-chip branch whose overhead was unmeasured.
+    Returns (wall_s, finite_ok)."""
+    space, _, _ = _gp_problem()
+    rng = np.random.default_rng(2)
+    d = space.num_cols
+    Xb = rng.uniform(-5, 5, (n_obs, d)).astype(np.float32)
+    yb = (np.sum(Xb**2, axis=1, keepdims=True) / 10.0).astype(np.float32)
+    kw = dict(pop=48, iters=16,
+              model_config={"num_epochs": 4, "n_restarts": 1,
+                            "max_cholesky_size": 1024})
+    opt = HEBO(space, mesh=mesh, **kw) if mesh is not None else HEBO(space, **kw)
+    df = space.sample(n_obs, seed=0)
+    for c in df.columns:
+        df[c] = Xb[:, list(df.columns).index(c)]
+    opt.observe(df, yb)
+    rec = opt.suggest(4)  # compile
+    ok = bool(np.all(np.isfinite(space.transform(rec).astype(np.float64))))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        opt.suggest(4)
+    return (time.perf_counter() - t0) / reps, ok
+
+
 def main():
     devs = jax.devices()
     sizes = [n for n in (1, 2, 4, 8) if n <= len(devs)]
@@ -125,6 +153,20 @@ def main():
             "hebo_suggest_s": round(sug_dt, 4),
         })
         print(rows[-1], flush=True)
+
+    # bucket-4096 large-N product-path row: 1 device vs the full mesh
+    large_rows = []
+    for n in (1, sizes[-1]) if sizes[-1] > 1 else (1,):
+        mesh = Mesh(np.array(devs[:n]), ("shard",)) if n > 1 else None
+        dt, ok = bench_hebo_suggest_large_n(mesh)
+        large_rows.append({
+            "devices": n, "n_obs": 2500, "bucket": 4096,
+            "suggest_s": round(dt, 3), "suggestions_finite": ok,
+        })
+        print(large_rows[-1], flush=True)
+    if len(large_rows) == 2:
+        large_rows[1]["suggest_partition_overhead"] = round(
+            large_rows[1]["suggest_s"] / large_rows[0]["suggest_s"], 3)
 
     base = rows[0]
     on_cpu = jax.default_backend() == "cpu"
@@ -161,6 +203,7 @@ def main():
             "reports throughput/(t1*N) instead)"
         ),
         "rows": rows,
+        "large_n_rows": large_rows,
     }
     path = os.path.join(os.path.dirname(__file__), "scaling_results.json")
     with open(path, "w") as f:

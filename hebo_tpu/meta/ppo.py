@@ -77,17 +77,40 @@ class NAPPolicy(nn.Module):
     d_model: int = 64
     n_heads: int = 4
     n_layers: int = 2
+    single_stream: bool = False
 
     @nn.compact
     def __call__(self, Xc, yc, Xq, ctx_mask, return_mu: bool = False):
         B, Nc, _ = Xc.shape
-        Nq = Xq.shape[1]
-        emb_c = nn.Dense(self.d_model)(jnp.concatenate([Xc, yc], axis=-1))
-        emb_q = nn.Dense(self.d_model)(
-            jnp.concatenate([Xq, jnp.zeros((B, Nq, 1), Xq.dtype)], axis=-1)
-        )
-        h = jnp.concatenate([emb_c, emb_q], axis=1)
-        key_ok = jnp.concatenate([ctx_mask, jnp.zeros((B, Nq), bool)], axis=1)
+        if self.single_stream:
+            # r5 full-domain variant: ONE token per candidate carrying
+            # (x, y·observed, observed) — the two-stream layout duplicates
+            # every candidate as (context, query) tokens, which at the
+            # full 1000-candidate HPO-B domain quadruples attention cost
+            # for zero information (Xq ≡ Xc on every call site).  Only
+            # observed tokens serve as attention KEYS (the same
+            # train/test masking as the reference's PFN-style transformer,
+            # NAP/nap/policies/transformer.py:19), so unobserved
+            # candidates read beliefs from the observed set exactly as
+            # two-stream queries did; each token's output yields its own
+            # acquisition logit (observed ones are action-masked anyway).
+            flag = ctx_mask[..., None].astype(Xc.dtype)
+            h = nn.Dense(self.d_model)(
+                jnp.concatenate([Xc, yc * flag, flag], axis=-1)
+            )
+            key_ok = ctx_mask
+        else:
+            Nq = Xq.shape[1]
+            emb_c = nn.Dense(self.d_model)(
+                jnp.concatenate([Xc, yc], axis=-1)
+            )
+            emb_q = nn.Dense(self.d_model)(
+                jnp.concatenate([Xq, jnp.zeros((B, Nq, 1), Xq.dtype)], axis=-1)
+            )
+            h = jnp.concatenate([emb_c, emb_q], axis=1)
+            key_ok = jnp.concatenate(
+                [ctx_mask, jnp.zeros((B, Nq), bool)], axis=1
+            )
         # broadcastable (B, 1, 1, T) — an explicit (B, H, T, T) broadcast
         # became a per-scan-step saved residual in the PPO replay backward
         # (50×32×4×256×256 f32 ≈ 1.6 GB each → HBM OOM on chip)
@@ -99,13 +122,14 @@ class NAPPolicy(nn.Module):
             h = nn.LayerNorm()(h + a)
             f = nn.Dense(self.d_model)(nn.gelu(nn.Dense(2 * self.d_model)(h)))
             h = nn.LayerNorm()(h + f)
-        logits = nn.Dense(1)(h[:, Nc:, :])[..., 0]  # (B, Nq)
+        hq = h if self.single_stream else h[:, Nc:, :]
+        logits = nn.Dense(1)(hq)[..., 0]  # (B, Nq)
         ctx_pool = jnp.sum(
             h[:, :Nc, :] * ctx_mask[..., None], axis=1
         ) / jnp.maximum(jnp.sum(ctx_mask, axis=1, keepdims=True), 1.0)
         value = nn.Dense(1)(ctx_pool)[..., 0]  # (B,)
         if return_mu:
-            mu = nn.Dense(1, name="mu_head")(h[:, Nc:, :])[..., 0]  # (B, Nq)
+            mu = nn.Dense(1, name="mu_head")(hq)[..., 0]  # (B, Nq)
             return logits, value, mu
         return logits, value
 

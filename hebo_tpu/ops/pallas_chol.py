@@ -395,9 +395,81 @@ def _diag_factor_inverse_mb(d_ref, lt_ref, wb_ref, bc):
         wb_ref[:, r0 : r0 + MB, :] = X
 
 
+def _diag_factor_inverse_merged(d_ref, lt_ref, wb_ref, bc):
+    """Merged micro-blocked factor + inverse of the (bc,128,128) diagonal
+    block (r5 slab stage 2, VERDICT r4 next #2).
+
+    The r4 ``_diag_factor_inverse_mb`` ran TWO serial passes over the
+    block — 128 factorization steps (phase 1) then 128 forward-
+    substitution steps for W = L⁻¹ (phase 2) — so a 1024-bucket
+    factorization walked 2048 dependent steps.  Each column step here
+    produces BOTH its L column and its W row, halving the serial chain
+    to 128 steps/block.  The cross-strip pending terms become standard
+    lane-contracting MXU matmuls: the strip's L rows in lane-k layout
+    are ONE (128×8) transpose of the Lᵀ lane slice (the r4 version's
+    sublane-contracting ``dot_general`` forced Mosaic operand
+    transposes on every strip — ROOFLINE.md §5's "transposed lane-slice
+    MXU operands" residual).  ``lt_ref`` is zero-initialized so the
+    not-yet-written rows contribute exact zeros to those contractions.
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, BLK), 2)
+    srow = jax.lax.broadcasted_iota(jnp.int32, (1, MB, 1), 1)
+    eyeb = (
+        jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+    ).astype(jnp.float32)
+    lt_ref[:] = jnp.zeros((bc, BLK, BLK), jnp.float32)
+    wb_ref[:] = jnp.zeros((bc, BLK, BLK), jnp.float32)
+
+    def _mx(a, b):
+        # (bc, MB, K) @ (bc, K, BLK): contract lanes of a with sublanes
+        # of b — the MXU-canonical orientation, no operand transposes
+        return jax.lax.dot_general(
+            a, b, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    for s in range(BLK // MB):
+        r0 = s * MB
+        strip = d_ref[:, r0 : r0 + MB, :]
+        X = jnp.broadcast_to(eyeb[r0 : r0 + MB, :], (bc, MB, BLK))
+        if s:
+            # L rows of this strip over finished columns, lane-k layout
+            lr_strip = jnp.swapaxes(lt_ref[:, :, r0 : r0 + MB], 1, 2)
+            strip = strip - _mx(lr_strip, lt_ref[:])
+            X = X - _mx(lr_strip, wb_ref[:])
+        ltacc = jnp.zeros((bc, MB, BLK), jnp.float32)
+
+        def mstep(t, carry, _r0=r0):
+            strip, X, ltacc = carry
+            k = _r0 + t
+            row = jnp.sum(
+                jnp.where(srow == t, strip, 0.0), axis=1, keepdims=True
+            )
+            dkk = jnp.sum(
+                jnp.where(lane == k, row, 0.0), axis=2, keepdims=True
+            )
+            inv = jax.lax.rsqrt(dkk)
+            col = jnp.where(lane >= k, row * inv, 0.0)  # L[:,k] by lane
+            ltacc = jnp.where(srow == t, col, ltacc)
+            colr = jnp.swapaxes(col[:, :, _r0 : _r0 + MB], 1, 2)  # (bc,MB,1)
+            strip = strip - (colr * col) * ((lane > k) & (srow > t))
+            xrow = (
+                jnp.sum(jnp.where(srow == t, X, 0.0), axis=1, keepdims=True)
+                * inv
+            )
+            X = jnp.where(srow == t, xrow, X - (colr * xrow) * (srow > t))
+            return strip, X, ltacc
+
+        _, X, ltacc = jax.lax.fori_loop(0, MB, mstep, (strip, X, ltacc))
+        lt_ref[:, r0 : r0 + MB, :] = ltacc
+        wb_ref[:, r0 : r0 + MB, :] = X
+
+
 def _factor_slab_kernel(
     a_ref, l_ref, wd_ref, c_ref, lbuf_ref, d_ref, lt_ref, wb_ref, sem,
-    *, n: int, bc: int, kp: int, resident: bool, micro: bool,
+    *, n: int, bc: int, kp: int, resident: bool, micro: int,
 ):
     i = pl.program_id(0)
     b0 = i * bc
@@ -425,7 +497,9 @@ def _factor_slab_kernel(
             c_ref[:] = c_ref[:] - _bmm_t(Lk, Lk[:, c0 : c0 + BLK, :])
         # serial diagonal factorization (micro-blocked), batched over bc
         d_ref[:] = c_ref[:, c0 : c0 + BLK, :]
-        if micro:
+        if micro == 2:
+            _diag_factor_inverse_merged(d_ref, lt_ref, wb_ref, bc)
+        elif micro == 1:
             _diag_factor_inverse_mb(d_ref, lt_ref, wb_ref, bc)
         else:
             _diag_factor_inverse(d_ref, lt_ref, wb_ref, bc)
@@ -505,18 +579,18 @@ def _balanced_bc(B: int, bc_max: int) -> int:
     return -(-B // steps)
 
 
-def _run_slab(K: jnp.ndarray, interpret: bool):
+def _run_slab(K: jnp.ndarray, interpret: bool, micro=None, resident=None):
     import os
 
     B, n, n2 = K.shape
     assert n == n2 and slab_supported(n), (B, n, n2)
     kp = n // BLK
     bc_res = _slab_bc(n, resident=True)
-    mode = os.environ.get("HEBO_SLAB_RESIDENT", "auto")
-    if mode == "auto":
-        resident = bc_res >= min(B, 8)
-    else:
-        resident = mode == "1"
+    if resident is None:
+        mode = os.environ.get("HEBO_SLAB_RESIDENT", "auto")
+        resident = bc_res >= min(B, 8) if mode == "auto" else mode == "1"
+    if micro is None:
+        micro = int(os.environ.get("HEBO_SLAB_MICRO", "2"))
     bc = _balanced_bc(B, bc_res if resident else _slab_bc(n, resident=False))
     Bp = -(-B // bc) * bc
     if Bp != B:
@@ -524,11 +598,18 @@ def _run_slab(K: jnp.ndarray, interpret: bool):
             [K, jnp.broadcast_to(jnp.eye(n, dtype=K.dtype), (Bp - B, n, n))],
             axis=0,
         )
+    L, Wd = _run_factor(K, bc, kp, resident, micro, interpret)
+    W = _run_winv(L, Wd, bc_res, resident, interpret)
+    return L[:B], W[:B]
+
+
+def _run_factor(K, bc, kp, resident, micro, interpret):
+    Bp, n, _ = K.shape
     lbuf_shape = (bc, n, n) if resident else (bc, n, BLK)
     L, Wd = pl.pallas_call(
         partial(
             _factor_slab_kernel, n=n, bc=bc, kp=kp, resident=resident,
-            micro=os.environ.get("HEBO_SLAB_MICRO", "1") == "1",
+            micro=micro,
         ),
         grid=(Bp // bc,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
@@ -548,6 +629,12 @@ def _run_slab(K: jnp.ndarray, interpret: bool):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(K.astype(jnp.float32))
+    return L, Wd
+
+
+def _run_winv(L, Wd, bc_res, resident, interpret):
+    Bp, n, _ = L.shape
+    kp = n // BLK
     bw = _balanced_bc(Bp, bc_res if resident else _slab_bc(n, resident=False))
     Bw = -(-Bp // bw) * bw
     if Bw != Bp:
@@ -576,15 +663,18 @@ def _run_slab(K: jnp.ndarray, interpret: bool):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(L2, Wd2)
-    return L[:B], W[:B]
+    return W[:Bp]
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def chol_inv_slab(K: jnp.ndarray, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "micro", "resident"))
+def chol_inv_slab(K: jnp.ndarray, interpret: bool = False, micro=None,
+                  resident=None):
     """(L, W) with K = L Lᵀ and W = L⁻¹ for a (B, N, N) f32 batch.
 
     HBM-resident slab kernels: in-kernel batch vectorization at every
     supported N (vs ``chol_inv_batched``'s VMEM-resident bc=1 at 1024).
     Non-PSD inputs propagate NaNs exactly like ``jnp.linalg.cholesky``.
+    ``micro``/``resident`` override the diag-loop variant and the
+    VMEM-residency choice (None = env/auto default; probe knobs).
     """
-    return _run_slab(K, interpret=interpret)
+    return _run_slab(K, interpret=interpret, micro=micro, resident=resident)
