@@ -19,8 +19,13 @@ def main():
         def run(K):
             def body(c, _):
                 r = fn(c)
-                # feed a scalar back so steps are dependent (no overlap-cheating)
-                s = 1e-20 * jnp.sum(r[0][:, 0, 0] if isinstance(r, tuple) else r[:, 0, 0])
+                if not isinstance(r, tuple):
+                    r = (r,)
+                # feed a scalar from EVERY output back so steps are
+                # dependent and no output is dead code (the r4 version
+                # fed only r[0] → the fused-inverse/trsm calls were
+                # DCE'd and those columns were factor-only numbers)
+                s = sum(1e-20 * jnp.sum(ri[:, 0, 0]) for ri in r)
                 return c + s, ()
             c, _ = jax.lax.scan(body, K, None, length=CHAIN)
             return c
@@ -43,7 +48,7 @@ def main():
         def trsm(c):
             Lc = jnp.linalg.cholesky(c)
             Wc = jax.scipy.linalg.solve_triangular(Lc, jnp.broadcast_to(jnp.eye(N, dtype=jnp.float32), Lc.shape), lower=True)
-            return (Lc, Wc)
+            return (Lc, Wc)  # chain_fn consumes BOTH outputs (no DCE)
         xla_choltrsm = chain_fn(trsm)
 
         def timed(fn):

@@ -37,15 +37,21 @@ def main():
     out = {"chain": CHAIN, "rows": []}
 
     def chain_fn(fn):
-        """Feed the (B,N,N) result back as the next input: every link is
-        data-dependent on the previous one's full output (no hoisting)."""
+        """Feed ALL outputs back into the next input: every link is
+        data-dependent on every output, so XLA cannot dead-code-eliminate
+        any of them.  (The r4 slab_probe chains fed only r[0]=L back —
+        the fused-inverse pallas_call and the trsm were DCE'd, so those
+        columns were factor-only numbers.)"""
         @jax.jit
         def run(K, eps):
             def body(c, _):
                 r = fn(c)
-                r0 = r[0] if isinstance(r, tuple) else r
+                if not isinstance(r, tuple):
+                    r = (r,)
                 # keep the iterate SPD-ish and structurally dependent
-                return c + eps * r0, ()
+                for ri in r:
+                    c = c + eps * ri
+                return c, ()
             c, _ = jax.lax.scan(body, K, None, length=CHAIN)
             return c
         return run
@@ -59,8 +65,11 @@ def main():
             ts.append(time.perf_counter() - t0)
         return min(ts) / CHAIN * 1e3
 
+    shapes_env = os.environ.get("SLAB2_SHAPES", "16x1024,8x2048,64x256")
+    shapes = [tuple(int(v) for v in s.split("x"))
+              for s in shapes_env.split(",")]
     rng = np.random.default_rng(0)
-    for B, N in [(16, 1024), (32, 1024), (64, 256), (16, 512), (8, 2048)]:
+    for B, N in shapes:
         A = rng.normal(size=(B, N, N)).astype(np.float32)
         K = (A @ np.transpose(A, (0, 2, 1)) / N
              + 0.5 * np.eye(N, dtype=np.float32))
@@ -82,13 +91,13 @@ def main():
             np.einsum("bij,bjk->bik", np.asarray(W), np.asarray(L))
             - np.eye(N, dtype=np.float32)).max())
 
+        # m1 (the r4 two-phase diag) baselines are the committed r4
+        # slab_probe.json rows — not re-timed here (each distinct Mosaic
+        # kernel costs ~8 min of remote compile through the tunnel)
         variants = {
-            "factor_m1": chain_fn(
-                lambda c: pc._run_factor(c, bc, kp, resident, 1, False)[0]),
             "factor_m2": chain_fn(
                 lambda c: pc._run_factor(c, bc, kp, resident, 2, False)[0]),
-            "full_m1": chain_fn(lambda c: pc.chol_inv_slab(c, micro=1)[0]),
-            "full_m2": chain_fn(lambda c: pc.chol_inv_slab(c, micro=2)[0]),
+            "full_m2": chain_fn(lambda c: pc.chol_inv_slab(c, micro=2)),
             "xla_chol": chain_fn(lambda c: jnp.linalg.cholesky(c)),
         }
 

