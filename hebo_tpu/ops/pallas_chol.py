@@ -566,57 +566,6 @@ def _winv_tile_kernel(
         cpo.wait()
 
 
-def _winv_slab_kernel(
-    l_ref, wd_ref, w_ref, wcol_ref, lbuf_ref, wdv_ref, sem,
-    *, n: int, bc: int, kp: int, resident: bool,
-):
-    """W block-column j by forward substitution; ``wcol`` doubles as the
-    accumulator — row-block k holds ACC[k] = Σ_{k'<k} L[k,k']·W[k',j]
-    until its own finalization step rewrites it as W[k,j] = -Wd_k·ACC[k]."""
-    i = pl.program_id(0)
-    b0 = i * bc
-    rows = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
-    cpd = pltpu.make_async_copy(wd_ref.at[pl.ds(b0, bc)], wdv_ref, sem)
-    cpd.start()
-    if resident:
-        cpl = pltpu.make_async_copy(l_ref.at[pl.ds(b0, bc)], lbuf_ref, sem)
-        cpl.start()
-        cpl.wait()
-    cpd.wait()
-
-    for j in range(kp):
-        cj = j * BLK
-        wcol_ref[:] = jnp.zeros((bc, n, BLK), jnp.float32)
-        wcol_ref[:, cj : cj + BLK, :] = wdv_ref[:, j]
-        for k in range(j, kp):
-            if k > j:
-                # ACC[k] is complete once panel k-1 has streamed
-                wcol_ref[:, k * BLK : (k + 1) * BLK, :] = -_bmm(
-                    wdv_ref[:, k], wcol_ref[:, k * BLK : (k + 1) * BLK, :]
-                )
-            if k < kp - 1:
-                if resident:
-                    Lk = lbuf_ref[:, :, k * BLK : (k + 1) * BLK]
-                else:
-                    cpk = pltpu.make_async_copy(
-                        l_ref.at[pl.ds(b0, bc), :, pl.ds(k * BLK, BLK)],
-                        lbuf_ref, sem,
-                    )
-                    cpk.start()
-                    cpk.wait()
-                    Lk = lbuf_ref[:]
-                wk = wcol_ref[:, k * BLK : (k + 1) * BLK, :]
-                contrib = _bmm(Lk, wk)  # L[:,k] @ W[k,j]
-                wcol_ref[:] = wcol_ref[:] + jnp.where(
-                    rows >= (k + 1) * BLK, contrib, 0.0
-                )
-        cpo = pltpu.make_async_copy(
-            wcol_ref, w_ref.at[pl.ds(b0, bc), :, pl.ds(cj, BLK)], sem
-        )
-        cpo.start()
-        cpo.wait()
-
-
 def _balanced_bc(B: int, bc_max: int) -> int:
     """Split B into equal chunks ≤ bc_max (avoids identity-padding a
     whole extra chunk: B=16 with bc_max=13 → two chunks of 8, not
@@ -634,7 +583,16 @@ def _run_slab(K: jnp.ndarray, interpret: bool, micro=None, resident=None):
     bc_res = _slab_bc(n, resident=True)
     if resident is None:
         mode = os.environ.get("HEBO_SLAB_RESIDENT", "auto")
-        resident = bc_res >= min(B, 8) if mode == "auto" else mode == "1"
+        if mode == "auto":
+            # resident only when ONE grid step covers the whole batch —
+            # otherwise streaming mode packs ~2x the matrices per step
+            # (VMEM holds (bc,N,128) slabs, not (bc,N,N) factors), which
+            # HALVES the number of serial chain walks: at (64,1024)
+            # resident runs 4 chain walks of bc=16, streaming runs 2 of
+            # bc=32, and the serial chain dominates (ROOFLINE §5)
+            resident = bc_res >= B
+        else:
+            resident = mode == "1"
     if micro is None:
         micro = int(os.environ.get("HEBO_SLAB_MICRO", "2"))
     bc = _balanced_bc(B, bc_res if resident else _slab_bc(n, resident=False))
@@ -679,17 +637,19 @@ def _run_factor(K, bc, kp, resident, micro, interpret):
 
 
 def _run_winv(L, Wd, bc_res, resident, interpret):
+    """W = L⁻¹ via the tile-wise kernel (always L-resident: its cost is
+    DMA + kp³/6 MXU tile matmuls, so extra grid steps are cheap — unlike
+    the factor kernel's serial chain, residency here never trades
+    against chain walks).  ``resident`` (the factor's choice) is unused.
+    """
     Bp, n, _ = L.shape
     kp = n // BLK
-    if resident:
-        # tile-kernel scratch: resident L (n²) + W column (2·n·BLK with
-        # the DMA copy in flight) + Wd tiles (kp·BLK²) + matmul temps —
-        # measured 113.9 MB at bw=16/n=1024 with the bc_res estimate, so
-        # size from the winv footprint with an 80 MB budget
-        per_w = (n * n + 2 * n * BLK + kp * BLK * BLK + 8 * BLK * BLK) * 4
-        bw_cap = max(1, int(80 * 1024 * 1024) // per_w)
-    else:
-        bw_cap = _slab_bc(n, resident=False)
+    # tile-kernel scratch: resident L (n²) + W column (2·n·BLK with
+    # the DMA copy in flight) + Wd tiles (kp·BLK²) + matmul temps —
+    # measured 113.9 MB at bw=16/n=1024 with the bc_res estimate, so
+    # size from the winv footprint with an 80 MB budget
+    per_w = (n * n + 2 * n * BLK + kp * BLK * BLK + 8 * BLK * BLK) * 4
+    bw_cap = max(1, int(80 * 1024 * 1024) // per_w)
     bw = _balanced_bc(Bp, bw_cap)
     Bw = -(-Bp // bw) * bw
     if Bw != Bp:
@@ -702,20 +662,15 @@ def _run_winv(L, Wd, bc_res, resident, interpret):
         Wd2 = jnp.concatenate([Wd, padD], axis=0)
     else:
         L2, Wd2 = L, Wd
-    wbuf_shape = (bw, n, n) if resident else (bw, n, BLK)
-    if resident:
-        kern = partial(_winv_tile_kernel, n=n, bc=bw, kp=kp)
-    else:
-        kern = partial(_winv_slab_kernel, n=n, bc=bw, kp=kp, resident=False)
     W = pl.pallas_call(
-        kern,
+        partial(_winv_tile_kernel, n=n, bc=bw, kp=kp),
         grid=(Bw // bw,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((Bw, n, n), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((bw, n, BLK), jnp.float32),        # W col (=ACC)
-            pltpu.VMEM(wbuf_shape, jnp.float32),          # resident/stream L
+            pltpu.VMEM((bw, n, BLK), jnp.float32),        # W block column
+            pltpu.VMEM((bw, n, n), jnp.float32),          # resident L
             pltpu.VMEM((bw, kp, BLK, BLK), jnp.float32),  # Wd diagonals
             pltpu.SemaphoreType.DMA,
         ],
