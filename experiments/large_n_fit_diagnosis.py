@@ -49,7 +49,11 @@ def main():
            "note": "fit wall seconds, min/median over reps; r4_gate "
                    "forces the slab kernel at every supported N "
                    "(including the subsampled fit's (1, 2048) systems), "
-                   "r5_gate requires B*128 >= N"}
+                   "r5_gate requires B*128 >= N; caveat: the r4_gate arm "
+                   "forces the gate open over TODAY'S stage-2 (m2) "
+                   "kernels, so its penalty understates the r4-era "
+                   "regression, which combined the ungated route with "
+                   "the slower r4 kernels and a contended host"}
     for n_obs in (3600, 7000):
         sp = Ackley(dim=6).space
         rng = np.random.default_rng(0)
@@ -62,13 +66,16 @@ def main():
         for name, gate in (("r5_gate", gate_r5), ("r4_gate", gate_r4)):
             chol_mod._use_slab = gate
             mdl = get_model("gp", sp, num_epochs=50)
+            # sync via device_get: block_until_ready is NOT a barrier
+            # through the async axon relay (same flaw the r4 microbench
+            # fixed) — a device->host read must wait for the computation
             mdl.fit(Xv, yv)  # compile/warm
-            jax.block_until_ready(mdl.caches.alpha)
+            jax.device_get(mdl.caches.alpha)
             ts = []
             for _ in range(5):
                 t0 = time.time()
                 mdl.fit(Xv, yv)
-                jax.block_until_ready(mdl.caches.alpha)
+                jax.device_get(mdl.caches.alpha)
                 ts.append(time.time() - t0)
             row[name + "_min_s"] = round(min(ts), 4)
             row[name + "_med_s"] = round(float(np.median(ts)), 4)

@@ -28,7 +28,9 @@ def main():
                 s = sum(1e-20 * jnp.sum(ri[:, 0, 0]) for ri in r)
                 return c + s, ()
             c, _ = jax.lax.scan(body, K, None, length=CHAIN)
-            return c
+            # reduce to a scalar so the sync (device_get) transfers 4
+            # bytes, not the 64 MB iterate, yet depends on every step
+            return jnp.sum(c[:, 0, :2])
         return run
 
     rng = np.random.default_rng(0)
@@ -52,16 +54,20 @@ def main():
         xla_choltrsm = chain_fn(trsm)
 
         def timed(fn):
-            jax.block_until_ready(fn(Kd))
+            # sync via device_get of the scalar result — block_until_ready
+            # is not a barrier through the async axon relay
+            jax.device_get(fn(Kd))
             ts = []
             for _ in range(6):
-                t0 = time.perf_counter(); jax.block_until_ready(fn(Kd)); ts.append(time.perf_counter() - t0)
+                t0 = time.perf_counter(); jax.device_get(fn(Kd)); ts.append(time.perf_counter() - t0)
             return min(ts) / CHAIN * 1e3
 
         t_xla = timed(xla_chol)
         t_slab = timed(slab)
         t_xt = timed(xla_choltrsm)
-        row = {"B": B, "N": N, "errL": errL, "errWL": errW,
+        from hebo_tpu.ops.chol import _use_slab
+        row = {"B": B, "N": N, "in_gate": bool(_use_slab(N, B)),
+               "errL": errL, "errWL": errW,
                "xla_chol_ms": round(t_xla, 3), "slab_cholinv_ms": round(t_slab, 3),
                "xla_chol_trsm_ms": round(t_xt, 3)}
         out["rows"].append(row)
