@@ -32,7 +32,8 @@ def main():
     for path in sys.argv[1:]:
         with open(path) as f:
             shard = json.load(f)
-        for r in shard.get("tasks", shard if isinstance(shard, list) else []):
+        for r in (shard if isinstance(shard, list) else
+                  shard.get("tasks", [])):
             rows[r["task"]] = r
     for r in rows.values():
         if "baseline_signal_rel" not in r:
