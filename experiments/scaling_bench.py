@@ -131,6 +131,32 @@ def bench_hebo_suggest_large_n(mesh, n_obs=2500, reps=2):
 def main():
     devs = jax.devices()
     sizes = [n for n in (1, 2, 4, 8) if n <= len(devs)]
+    path = os.path.join(os.path.dirname(__file__), "scaling_results.json")
+
+    # SCALING_LARGE_N_ONLY=1: measure just the bucket-4096 product-path
+    # rows and merge them into the existing artifact (the small-shape
+    # rows are expensive to re-run and unchanged)
+    if os.environ.get("SCALING_LARGE_N_ONLY") == "1":
+        large_rows = []
+        for n in (1, sizes[-1]) if sizes[-1] > 1 else (1,):
+            mesh = Mesh(np.array(devs[:n]), ("shard",)) if n > 1 else None
+            dt, ok = bench_hebo_suggest_large_n(mesh)
+            large_rows.append({
+                "devices": n, "n_obs": 2500, "bucket": 4096,
+                "suggest_s": round(dt, 3), "suggestions_finite": ok,
+            })
+            print(large_rows[-1], flush=True)
+        if len(large_rows) == 2:
+            large_rows[1]["suggest_partition_overhead"] = round(
+                large_rows[1]["suggest_s"] / large_rows[0]["suggest_s"], 3)
+        with open(path) as f:
+            out = json.load(f)
+        out["large_n_rows"] = large_rows
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
+        print("wrote", path, "(large_n_rows only)")
+        return
+
     space, X, y = _gp_problem()
     from hebo_tpu.models import get_model
 
